@@ -1,0 +1,198 @@
+"""tpu_g2o — batch CLI mirroring the reference `g2o` binary.
+
+Re-implements the batch path of apps/g2o_cli/g2o.cpp:101-668 (flags
+:131-159, batch flow :534-641): load a .g2o file, choose the optimization
+algorithm by name, apply a robust kernel, fix a gauge, optimize, report chi2
+per iteration, write stats/summary/output files.
+
+Usage:  python -m openslam_g2o_tpu.apps.cli [options] graph.g2o
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="tpu_g2o",
+        description="TPU-native graph optimizer (g2o CLI equivalent)")
+    p.add_argument("input", nargs="?", help="input .g2o file")
+    p.add_argument("-i", dest="max_iterations", type=int, default=10,
+                   help="perform n iterations (default 10)")
+    p.add_argument("-v", dest="verbose", action="store_true",
+                   help="verbose output of the optimization process")
+    p.add_argument("-guess", action="store_true",
+                   help="initial guess based on spanning tree")
+    p.add_argument("-solver", default="lm_var",
+                   help="specify which solver to use (default lm_var)")
+    p.add_argument("-solverProperties", default="",
+                   help="set properties of the solver, e.g. initialLambda=0.0001")
+    p.add_argument("-robustKernel", default="",
+                   help="use this robust error function (Huber, Cauchy, ...)")
+    p.add_argument("-robustKernelWidth", type=float, default=-1.0,
+                   help="width for the robust kernel")
+    p.add_argument("-o", dest="output", default="",
+                   help="output final version of the graph")
+    p.add_argument("-stats", default="", help="specify a file for the statistics")
+    p.add_argument("-summary", default="",
+                   help="append a summary of this optimization run to the summary file")
+    p.add_argument("-gaugeId", type=int, default=-1, help="force the gauge")
+    p.add_argument("-marginalize", action="store_true",
+                   help="use the Schur complement to marginalize landmarks")
+    p.add_argument("-gainThreshold", type=float, default=1e-6,
+                   help="stop when the chi2 gain is below this threshold")
+    p.add_argument("-maxIterationsWithGain", type=int, default=0,
+                   help="max iterations when using the gain-based termination")
+    p.add_argument("-listSolvers", action="store_true", help="list available solvers")
+    p.add_argument("-listRobustKernels", action="store_true",
+                   help="list available robust kernels")
+    p.add_argument("-listTypes", action="store_true", help="list registered types")
+    p.add_argument("-renameTypes", default="",
+                   help="comma-separated list of oldtag=newtag renames")
+    p.add_argument("-f32", action="store_true",
+                   help="optimize in float32 (TPU-native precision)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    # defer jax-heavy imports so -list* stays instant
+    from openslam_g2o_tpu.core import registry, robust
+    from openslam_g2o_tpu.core.factory import construct_algorithm, list_algorithms
+
+    if args.listSolvers:
+        for name, desc in list_algorithms():
+            print(f"{name:24s} {desc}")
+        return 0
+    if args.listRobustKernels:
+        for name in robust.kernel_names():
+            if name != "None":
+                print(name)
+        return 0
+    if args.listTypes:
+        for tag, vt in sorted(
+                (vt.tag, vt) for vt in registry.registered_vertex_types().values()):
+            print(f"{tag:32s} vertex  dim={vt.tangent_dim}")
+        for tag, et in sorted(
+                (et.tag, et) for et in registry.registered_edge_types().values()):
+            print(f"{tag:32s} edge    dim={et.error_dim} "
+                  f"vertices={','.join(et.vertex_types)}")
+        return 0
+
+    if not args.input:
+        print("error: no input file given", file=sys.stderr)
+        return 1
+
+    import jax
+    import jax.numpy as jnp
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    from openslam_g2o_tpu.core import problem as P
+    from openslam_g2o_tpu.core.algorithms import optimize, TerminateCriterion
+    from openslam_g2o_tpu.core.initial_guess import spanning_tree_initial_guess
+    from openslam_g2o_tpu.io.g2o_format import load_g2o, save_g2o
+
+    renamed = None
+    if args.renameTypes:
+        renamed = registry.renamed_types_lookup(args.renameTypes)
+
+    try:
+        construct_algorithm(args.solver)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+    t0 = time.monotonic()
+    try:
+        graph = load_g2o(args.input, renamed_types=renamed)
+    except OSError as e:
+        print(f"error: cannot read {args.input}: {e}", file=sys.stderr)
+        return 1
+    load_time = time.monotonic() - t0
+    print(f"Read input from {args.input}", file=sys.stderr)
+    print(f"# graph is fixed by node {args.gaugeId}" if args.gaugeId >= 0 else
+          "# graph state", file=sys.stderr)
+
+    if graph.num_vertices() == 0:
+        print("Graph contains no vertices", file=sys.stderr)
+        return 1
+
+    # gauge handling (g2o.cpp:272-304)
+    if args.gaugeId >= 0:
+        if args.gaugeId not in graph.vertices:
+            print(f"cannot find gauge vertex {args.gaugeId}", file=sys.stderr)
+            return 1
+        graph.set_fixed(args.gaugeId, True)
+    elif graph.gauge_freedom():
+        gauge = graph.find_gauge()
+        print(f"# setting vertex {gauge} fixed (gauge freedom)", file=sys.stderr)
+        graph.set_fixed(gauge, True)
+
+    if args.robustKernel:
+        width = args.robustKernelWidth if args.robustKernelWidth > 0 else 1.0
+        graph.set_robust_kernel(args.robustKernel, width)
+        print(f"# robust kernel {args.robustKernel} width {width}", file=sys.stderr)
+
+    if args.guess:
+        n = spanning_tree_initial_guess(graph)
+        print(f"# initial guess: initialized {n} vertices", file=sys.stderr)
+
+    spec = construct_algorithm(args.solver)
+    props = {}
+    if args.solverProperties:
+        for kv in args.solverProperties.split(","):
+            k, _, v = kv.partition("=")
+            key = {"initialLambda": "initial_lambda",
+                   "maxTrialsAfterFailure": "max_trials_after_failure",
+                   "initialDelta": "initial_delta"}.get(k.strip())
+            if key is None:
+                print(f"# ignoring unknown solver property {k}", file=sys.stderr)
+            else:
+                props[key] = float(v) if "." in v or "e" in v.lower() else int(float(v))
+    algorithm = spec.make(**props)
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    prob = graph.compile(dtype=dtype)
+    chi0 = float(P.chi2(prob))
+    print(f"Initial chi2 = {chi0:.6f}", file=sys.stderr)
+
+    terminate = TerminateCriterion(gain_threshold=args.gainThreshold,
+                                   max_iterations=args.maxIterationsWithGain)
+    out, stats = optimize(prob, algorithm, iterations=args.max_iterations,
+                          verbose=args.verbose, terminate=terminate)
+    final_chi = stats[-1]["chi2"] if stats else chi0
+
+    if args.stats:
+        with open(args.stats, "w") as f:
+            for s in stats:
+                f.write(json.dumps(s) + "\n")
+    if args.summary:
+        n_edges = graph.num_edges()
+        with open(args.summary, "a") as f:
+            f.write(json.dumps({
+                "filename": args.input,
+                "n_vertices": graph.num_vertices(),
+                "n_edges": n_edges,
+                "load_chi": chi0,
+                "final_chi": final_chi,
+                "solver": args.solver,
+                "iterations": len(stats),
+                "load_time": load_time,
+                "opt_time": sum(s["time"] for s in stats),
+            }) + "\n")
+    if args.output:
+        P.write_back(out, graph)
+        save_g2o(graph, args.output)
+        print(f"Saving {args.output}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,330 @@
+"""Outer nonlinear least-squares iteration strategies: Gauss-Newton and
+Levenberg-Marquardt (Dogleg in core/dogleg.py).
+
+Functional re-design of g2o's OptimizationAlgorithm hierarchy
+(g2o/core/optimization_algorithm.h:47, optimization_algorithm_gauss_newton.cpp
+:50-90, optimization_algorithm_levenberg.cpp:57-190): the reference mutates
+vertex estimates in place and uses per-vertex push/pop backup stacks for LM
+trial steps (base_vertex.h:96-99); here a step is a pure function
+state -> state over a parameter pytree, so the "backup stack" is simply
+keeping the old pytree, and the LM trial loop is a lax.while_loop that jits
+into one fused device program.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from openslam_g2o_tpu.core import problem as problem_mod
+from openslam_g2o_tpu.core.problem import (
+    Problem, apply_update, build_dense_system, linearize, robust_chi2,
+    tangent_masks,
+)
+from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
+
+__all__ = ["GaussNewton", "LevenbergMarquardt", "Dogleg", "optimize",
+           "TerminateCriterion"]
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=())
+def _gn_step(prob: Problem, params: dict):
+    """One GN iteration (optimization_algorithm_gauss_newton.cpp:50-90):
+    linearize, solve H dx = b, retract."""
+    work = prob.with_params(params)
+    H, b, _ = build_dense_system(work)
+    dx, ok = solve_dense_cholesky(H, b)
+    new_params = apply_update(work, dx)
+    chi = robust_chi2(work, new_params)
+    return new_params, chi, ok
+
+
+class GaussNewton:
+    """Stateless GN algorithm driver."""
+
+    name = "gn"
+
+    def init(self, prob: Problem):
+        return {"params": prob.params}
+
+    def step(self, prob: Problem, state: dict):
+        params, chi, ok = _gn_step(prob, state["params"])
+        return {"params": params}, {"chi2": float(chi), "ok": bool(ok)}
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_trials",))
+def _lm_step(prob: Problem, params: dict, lam, ni, chi_cur, max_trials: int = 10):
+    """One LM outer iteration with the trial while_loop.
+
+    Semantics follow optimization_algorithm_levenberg.cpp:57-147: damping adds
+    lambda to the Hessian diagonal (block_solver.hpp:564-589), gain ratio
+    rho = (chi - chi_new) / (dx . (lambda dx + b) + 1e-3), accept scales
+    lambda by clamp(1-(2 rho-1)^3, [1/3, 2/3]) and resets ni=2; reject scales
+    lambda by ni and doubles ni.
+    """
+    work = prob.with_params(params)
+    lin = linearize(work)
+    H, b, raw_diag = build_dense_system(work, lin=lin)
+    free_t, _ = tangent_masks(work)
+    eye_free = jnp.diag(free_t)
+
+    def trial_cond(st):
+        trials, done, rho, lam, ni, _, _ = st[:7]
+        return jnp.logical_and(jnp.logical_not(done),
+                               jnp.logical_and(rho < 0, trials < max_trials))
+
+    def trial_body(st):
+        trials, done, rho, lam, ni, best_params, best_chi = st
+        dx, ok = solve_dense_cholesky(H + lam * eye_free, b)
+        cand = apply_update(work, dx)
+        chi_new = robust_chi2(work, cand)
+        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        scale = jnp.dot(dx, lam * dx + b) + 1e-3
+        rho = (chi_cur - chi_new) / scale
+        accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
+
+        alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+        good_scale = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
+        lam = jnp.where(accept, lam * good_scale, lam * ni)
+        ni = jnp.where(accept, 2.0, ni * 2.0)
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_chi = jnp.where(accept, chi_new, best_chi)
+        return trials + 1, accept, rho, lam, ni, best_params, best_chi
+
+    init = (jnp.int32(0), jnp.array(False), jnp.array(-1.0, prob.dtype),
+            lam, ni, params, chi_cur)
+    trials, accepted, rho, lam, ni, best_params, best_chi = jax.lax.while_loop(
+        trial_cond, trial_body, init)
+    return best_params, lam, ni, best_chi, trials, accepted, raw_diag
+
+
+@jax.jit
+def _lambda_init(prob: Problem, params: dict, tau):
+    """tau * max |diag(H)| (optimization_algorithm_levenberg.cpp:149-163)."""
+    work = prob.with_params(params)
+    _, _, raw_diag = build_dense_system(work)
+    return tau * jnp.max(jnp.abs(raw_diag))
+
+
+class LevenbergMarquardt:
+    """LM algorithm driver. Properties mirror the reference's
+    (initialLambda, maxTrialsAfterFailure — optimization_algorithm_levenberg
+    .cpp:47-48)."""
+
+    name = "lm"
+
+    def __init__(self, initial_lambda: float = 0.0,
+                 max_trials_after_failure: int = 10, tau: float = 1e-5):
+        self.initial_lambda = initial_lambda
+        self.max_trials = max_trials_after_failure
+        self.tau = tau
+
+    def init(self, prob: Problem):
+        if self.initial_lambda > 0:
+            lam = jnp.asarray(self.initial_lambda, prob.dtype)
+        else:
+            lam = _lambda_init(prob, prob.params, jnp.asarray(self.tau, prob.dtype))
+        chi = robust_chi2(prob)
+        return {
+            "params": prob.params,
+            "lam": lam,
+            "ni": jnp.asarray(2.0, prob.dtype),
+            "chi2": chi,
+        }
+
+    def step(self, prob: Problem, state: dict):
+        params, lam, ni, chi, trials, accepted, _ = _lm_step(
+            prob, state["params"], state["lam"], state["ni"], state["chi2"],
+            max_trials=self.max_trials)
+        new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
+        info = {
+            "chi2": float(chi),
+            "lambda": float(lam),
+            "levenberg_iters": int(trials),
+            "ok": bool(accepted),
+        }
+        return new_state, info
+
+
+# ---------------------------------------------------------------------------
+# Dogleg
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_trials",))
+def _dogleg_step(prob: Problem, params: dict, delta, lam, was_pd, chi_cur,
+                 max_trials: int = 100):
+    """One Dogleg outer iteration (optimization_algorithm_dogleg.cpp:57-205):
+    blend the steepest-descent step h_sd = alpha*b with the Gauss-Newton step
+    inside trust radius delta; accept on rho > 0; grow/shrink delta on
+    rho > .75 / < .25. Non-PD Hessians trigger the reference's escalating
+    lambda damping (minLambda=1e-12, maxLambda=1e3, factor 10)."""
+    work = prob.with_params(params)
+    H, b, _ = build_dense_system(work)
+    free_t, _ = tangent_masks(work)
+    eye_free = jnp.diag(free_t)
+
+    hb = H @ b
+    alpha = jnp.dot(b, b) / jnp.maximum(jnp.dot(hb, b), 1e-30)
+    h_sd = alpha * b
+    hsd_norm = jnp.linalg.norm(h_sd)
+    hsd_sq = hsd_norm * hsd_norm
+
+    # -- GN solve with escalating damping when the Hessian went non-PD before
+    def damp_cond(st):
+        ok, lam_c, x, tries = st
+        return jnp.logical_and(jnp.logical_not(ok), tries < 20)
+
+    def damp_body(st):
+        ok, lam_c, x, tries = st
+        use_lam = jnp.where(was_pd, 0.0, lam_c)
+        x_new, solver_ok = solve_dense_cholesky(H + use_lam * eye_free, b)
+        lam_next = jnp.where(solver_ok,
+                             jnp.maximum(1e-12, lam_c / 5.0),
+                             jnp.minimum(lam_c * 10.0, 1e3))
+        return solver_ok, lam_next, x_new, tries + 1
+
+    x0, ok0 = solve_dense_cholesky(H + jnp.where(was_pd, 0.0, lam) * eye_free, b)
+    lam1 = jnp.where(ok0, jnp.maximum(1e-12, lam / 5.0), lam * 10.0)
+    gn_ok, lam_out, h_gn, _ = jax.lax.while_loop(
+        damp_cond, damp_body, (ok0, lam1, x0, jnp.int32(0)))
+    still_pd = jnp.logical_and(was_pd, ok0)
+    hgn_norm = jnp.linalg.norm(h_gn)
+
+    def trial_cond(st):
+        tries, good, delta_c, best_params, best_chi, rho = st
+        return jnp.logical_and(jnp.logical_not(good), tries < max_trials)
+
+    def trial_body(st):
+        tries, good, delta_c, best_params, best_chi, _ = st
+        # blend step selection
+        bma = h_gn - h_sd
+        bma_sq = jnp.maximum(jnp.dot(bma, bma), 1e-30)
+        c = jnp.dot(h_sd, bma)
+        disc = jnp.sqrt(jnp.maximum(c * c + bma_sq * (delta_c * delta_c - hsd_sq), 0.0))
+        beta = jnp.where(c <= 0, (-c + disc) / bma_sq,
+                         (delta_c * delta_c - hsd_sq) / jnp.maximum(c + disc, 1e-30))
+        h_dl = jnp.where(hgn_norm < delta_c, h_gn,
+                         jnp.where(hsd_norm > delta_c,
+                                   (delta_c / jnp.maximum(hsd_norm, 1e-30)) * h_sd,
+                                   h_sd + beta * bma))
+        linear_gain = -jnp.dot(H @ h_dl, h_dl) + 2.0 * jnp.dot(b, h_dl)
+        linear_gain = jnp.where(jnp.abs(linear_gain) < 1e-12, 1e-12, linear_gain)
+        cand = apply_update(work, h_dl)
+        chi_new = robust_chi2(work, cand)
+        rho = (chi_cur - chi_new) / linear_gain
+        accept = rho > 0
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_chi = jnp.where(accept, chi_new, best_chi)
+        hdl_norm = jnp.linalg.norm(h_dl)
+        delta_c = jnp.where(rho > 0.75, jnp.maximum(delta_c, 3.0 * hdl_norm),
+                            jnp.where(rho < 0.25, delta_c * 0.5, delta_c))
+        return tries + 1, accept, delta_c, best_params, best_chi, rho
+
+    init = (jnp.int32(0), jnp.array(False), delta, params, chi_cur,
+            jnp.array(-1.0, prob.dtype))
+    tries, good, delta_out, best_params, best_chi, _ = jax.lax.while_loop(
+        trial_cond, trial_body, init)
+    return best_params, delta_out, lam_out, still_pd, best_chi, tries, good
+
+
+class Dogleg:
+    """Dogleg trust-region algorithm (defaults match
+    optimization_algorithm_dogleg.cpp:44-47)."""
+
+    name = "dl"
+
+    def __init__(self, initial_delta: float = 1e4, initial_lambda: float = 1e-7,
+                 max_trials_after_failure: int = 100):
+        self.initial_delta = initial_delta
+        self.initial_lambda = initial_lambda
+        self.max_trials = max_trials_after_failure
+
+    def init(self, prob: Problem):
+        return {
+            "params": prob.params,
+            "delta": jnp.asarray(self.initial_delta, prob.dtype),
+            "lam": jnp.asarray(self.initial_lambda, prob.dtype),
+            "was_pd": jnp.array(True),
+            "chi2": robust_chi2(prob),
+        }
+
+    def step(self, prob: Problem, state: dict):
+        params, delta, lam, was_pd, chi, tries, good = _dogleg_step(
+            prob, state["params"], state["delta"], state["lam"],
+            state["was_pd"], state["chi2"], max_trials=self.max_trials)
+        new_state = {"params": params, "delta": delta, "lam": lam,
+                     "was_pd": was_pd, "chi2": chi}
+        info = {"chi2": float(chi), "delta": float(delta),
+                "tries": int(tries), "ok": bool(good)}
+        return new_state, info
+
+
+# ---------------------------------------------------------------------------
+# Outer driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class TerminateCriterion:
+    """SparseOptimizerTerminateAction analogue
+    (g2o/core/sparse_optimizer_terminate_action.cpp:21-45): stop when the
+    relative chi2 gain drops below `gain_threshold`."""
+    gain_threshold: float = 1e-6
+    max_iterations: int = 0  # 0: use the optimize() budget only
+
+    def should_stop(self, prev_chi, chi, iteration):
+        if self.max_iterations and iteration >= self.max_iterations:
+            return True
+        if prev_chi is None:
+            return False
+        if chi == 0:
+            return True
+        gain = (prev_chi - chi) / chi
+        return 0 <= gain < self.gain_threshold
+
+
+def optimize(prob: Problem, algorithm=None, iterations: int = 10,
+             verbose: bool = False, terminate: Optional[TerminateCriterion] = None):
+    """Run the outer iteration loop; the analogue of
+    SparseOptimizer::optimize (sparse_optimizer.cpp:354-419).
+
+    Returns (optimized Problem, stats list — one dict per iteration, matching
+    the reference's G2OBatchStatistics fields we can populate host-side).
+    """
+    algorithm = algorithm or LevenbergMarquardt()
+    state = algorithm.init(prob)
+    stats = []
+    prev_chi = None
+    cum_time = 0.0
+    for it in range(iterations):
+        t0 = time.monotonic()
+        state, info = algorithm.step(prob, state)
+        jax.block_until_ready(state["params"])
+        dt = time.monotonic() - t0
+        cum_time += dt
+        info.update({"iteration": it, "time": dt, "cum_time": cum_time})
+        stats.append(info)
+        if verbose:
+            extras = ""
+            if "lambda" in info:
+                extras = f"\t lambda= {info['lambda']:.6g}\t levenbergIter= {info['levenberg_iters']}"
+            print(f"iteration= {it}\t chi2= {info['chi2']:.6f}\t time= {dt:.5f}\t "
+                  f"cumTime= {cum_time:.5f}{extras}")
+        if terminate is not None and terminate.should_stop(prev_chi, info["chi2"], it):
+            break
+        prev_chi = info["chi2"]
+    return prob.with_params(state["params"]), stats

@@ -1,0 +1,77 @@
+"""Optimization-algorithm factory: string names -> configured algorithms.
+
+The analogue of OptimizationAlgorithmFactory
+(g2o/core/optimization_algorithm_factory.h:75-140) and the per-backend
+registration lists (e.g. solvers/csparse/solver_csparse.cpp:104-124).
+
+Name grammar mirrors the reference: ``{gn|lm|dl}_{var|fixN_M}[_backend]``.
+On TPU the "linear solver backend" distinction collapses: `dense` is the
+MXU dense Cholesky (the default — it is the fastest choice far beyond the
+sizes where the reference must go sparse), `pcg` is matrix-free block-Jacobi
+PCG, and `schur` toggles landmark marginalization (the reference's
+-marginalize + fixed-size BlockSolver_6_3 path). Block sizes are inferred
+from the graph, so `var` and `fixN_M` names behave identically — both are
+accepted for CLI compatibility.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from openslam_g2o_tpu.core.algorithms import (
+    Dogleg, GaussNewton, LevenbergMarquardt)
+
+__all__ = ["construct_algorithm", "list_algorithms", "AlgorithmSpec"]
+
+_NAME_RE = re.compile(
+    r"^(?P<algo>gn|lm|dl)_(?P<blocks>var|fix\d+_\d+|\d+_\d+)"
+    r"(?P<backend>_(dense|pcg|csparse|cholmod|eigen|schur))?(_scalar)?$")
+
+_ALGOS = {
+    "gn": GaussNewton,
+    "lm": LevenbergMarquardt,
+    "dl": Dogleg,
+}
+
+
+class AlgorithmSpec:
+    def __init__(self, algo_name: str, backend: str, marginalize: bool):
+        self.algo_name = algo_name
+        self.backend = backend
+        self.marginalize = marginalize
+
+    def make(self, **props):
+        return _ALGOS[self.algo_name](**props)
+
+
+def construct_algorithm(name: str) -> AlgorithmSpec:
+    """Resolve a g2o-style solver name. Unknown legacy backends (csparse,
+    cholmod, eigen) map to the TPU dense solver — same semantics (exact
+    factorization), different hardware-native implementation."""
+    m = _NAME_RE.match(name)
+    if m is None:
+        raise ValueError(
+            f"unknown algorithm {name!r}; try e.g. gn_var, lm_var, dl_var, "
+            f"lm_fix6_3, lm_var_pcg (see list_algorithms())")
+    backend = (m.group("backend") or "_dense").lstrip("_")
+    if backend in ("csparse", "cholmod", "eigen"):
+        backend = "dense"
+    marginalize = m.group("blocks") not in ("var",) and backend != "pcg"
+    return AlgorithmSpec(m.group("algo"), backend, marginalize)
+
+
+def list_algorithms():
+    """Registered algorithm names + descriptions (the CLI's -listSolvers)."""
+    out = []
+    for algo, desc in (("gn", "Gauss-Newton"),
+                       ("lm", "Levenberg-Marquardt"),
+                       ("dl", "Dogleg")):
+        for blocks, bdesc in (("var", "variable blocksize"),
+                              ("fix6_3", "SE3+XYZ blocks w/ Schur"),
+                              ("fix7_3", "Sim3+XYZ blocks w/ Schur"),
+                              ("fix3_2", "SE2+XY blocks w/ Schur")):
+            for backend in ("", "_dense", "_pcg"):
+                out.append((f"{algo}_{blocks}{backend}",
+                            f"{desc}, {bdesc}, "
+                            f"{'PCG' if backend == '_pcg' else 'TPU dense Cholesky'}"))
+    return out
