@@ -16,4 +16,5 @@ from openslam_g2o_tpu.core import registry  # noqa: F401
 # Importing the model libraries registers their vertex/edge types with the
 # global registry (the analogue of g2o's G2O_REGISTER_TYPE static proxies,
 # g2o/core/factory.h).
-from openslam_g2o_tpu.models import slam2d, slam3d  # noqa: F401
+from openslam_g2o_tpu.models import (  # noqa: F401
+    slam2d, slam3d, sba, sim3, sclam2d, icp)

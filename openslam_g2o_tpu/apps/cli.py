@@ -156,10 +156,15 @@ def main(argv=None):
                 print(f"# ignoring unknown solver property {k}", file=sys.stderr)
             else:
                 props[key] = float(v) if "." in v or "e" in v.lower() else int(float(v))
-    algorithm = spec.make(**props)
-
     dtype = jnp.float32 if args.f32 else jnp.float64
     prob = graph.compile(dtype=dtype)
+    use_schur = ((args.marginalize or spec.marginalize)
+                 and len(prob.static.marginalized_groups) == 1
+                 and prob.static.pose_dim < prob.static.total_dim)
+    algorithm = spec.make(marginalize=use_schur, **props)
+    if use_schur:
+        print("# Schur complement: marginalizing "
+              f"{prob.static.marginalized_groups[0].name}", file=sys.stderr)
     chi0 = float(P.chi2(prob))
     print(f"Initial chi2 = {chi0:.6f}", file=sys.stderr)
 

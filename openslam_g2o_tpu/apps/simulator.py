@@ -1,0 +1,307 @@
+"""Synthetic dataset generator: the g2o_simulator equivalent.
+
+Re-designs apps/g2o_simulator (simulator.h:42-280: World + Robot + pluggable
+Unary/Binary sensors; binaries test_simulator2d/3d.cpp) as host-side numpy
+generators that emit Graph objects (and .g2o files). Ground truth is kept so
+tests can assert ATE, exactly like the reference uses simulator output as its
+test fixture (SURVEY §4.3).
+
+Sensors implemented (mirroring sensor_*.cpp):
+- 2D: odometry (EDGE_SE2), pose loop closures (EDGE_SE2), landmark
+  range (EDGE_SE2_XY), landmark bearing (EDGE_BEARING_SE2_XY).
+- 3D: odometry (EDGE_SE3:QUAT), pose loop closures, landmark depth
+  (EDGE_SE3_TRACKXYZ with identity offset parameter).
+- create_sphere: the examples/sphere/create_sphere.cpp benchmark generator.
+
+Noise model: Gaussian on the measurement in its own space (Sampler,
+g2o/stuff/sampler.h:49-95); information = inverse covariance.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from openslam_g2o_tpu.core.graph import Graph
+from openslam_g2o_tpu.utils import np_lie
+
+__all__ = ["Simulator2D", "Simulator3D", "create_sphere"]
+
+
+def _info_from_sigmas(sigmas):
+    return np.diag(1.0 / np.asarray(sigmas) ** 2)
+
+
+class Simulator2D:
+    """2D robot in a planar world with landmarks (test_simulator2d.cpp)."""
+
+    def __init__(self, world_size: float = 25.0, n_landmarks: int = 100,
+                 trans_noise=(0.05, 0.01), rot_noise=0.02,
+                 landmark_noise=(0.05, 0.05), sensor_range: float = 3.0,
+                 seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+        self.world_size = world_size
+        self.landmarks = self.rng.uniform(0, world_size, size=(n_landmarks, 2))
+        self.trans_noise = trans_noise
+        self.rot_noise = rot_noise
+        self.landmark_noise = landmark_noise
+        self.sensor_range = sensor_range
+
+    def _motion(self, step: int):
+        """Manhattan-style grid walk: mostly straight, occasional +-90 turns
+        (the motion model behind manhattanOlson-style datasets)."""
+        if self.rng.random() < 0.25:
+            turn = self.rng.choice([-1.0, 1.0]) * math.pi / 2
+        else:
+            turn = 0.0
+        return np.array([1.0, 0.0, turn])
+
+    def simulate(self, n_poses: int = 300, landmark_obs: bool = True,
+                 bearing_only: bool = False, loop_closures: bool = True):
+        g = Graph()
+        odo_info = _info_from_sigmas(
+            [*self.trans_noise, self.rot_noise])
+        lm_info = _info_from_sigmas(self.landmark_noise)
+        bearing_info = _info_from_sigmas([self.rot_noise])
+
+        gt = np.zeros((n_poses, 3))
+        pose = np.array([self.world_size / 2, self.world_size / 2, 0.0])
+        for i in range(n_poses):
+            gt[i] = pose
+            if i + 1 < n_poses:
+                motion = self._motion(i)
+                nxt = np_lie.se2_compose(pose, motion)
+                # keep the robot in the world: turn around at the border
+                if not (0 <= nxt[0] <= self.world_size
+                        and 0 <= nxt[1] <= self.world_size):
+                    motion = np.array([0.0, 0.0, math.pi / 2])
+                    nxt = np_lie.se2_compose(pose, motion)
+                pose = nxt
+
+        noisy = gt.copy()
+        g.add_vertex(0, "se2", gt[0], fixed=True)
+        for i in range(1, n_poses):
+            z = np_lie.se2_compose(np_lie.se2_inverse(gt[i - 1]), gt[i])
+            zn = z + self.rng.normal(
+                0, [*self.trans_noise, self.rot_noise])
+            zn[2] = np_lie.normalize_angle(zn[2])
+            noisy[i] = np_lie.se2_compose(noisy[i - 1], zn)
+            noisy[i][2] = np_lie.normalize_angle(noisy[i][2])
+            g.add_vertex(i, "se2", noisy[i])
+            g.add_edge("edge_se2", (i - 1, i), zn, odo_info)
+
+        if loop_closures:
+            # pose sensor: relative constraints to revisited poses
+            for i in range(n_poses):
+                for j in range(i + 5, n_poses):
+                    if np.linalg.norm(gt[i][:2] - gt[j][:2]) < 1.0 \
+                            and self.rng.random() < 0.3:
+                        z = np_lie.se2_compose(np_lie.se2_inverse(gt[i]), gt[j])
+                        zn = z + self.rng.normal(
+                            0, [*self.trans_noise, self.rot_noise])
+                        zn[2] = np_lie.normalize_angle(zn[2])
+                        g.add_edge("edge_se2", (i, j), zn, odo_info)
+
+        lm_seen = {}
+        if landmark_obs:
+            for i in range(n_poses):
+                d = np.linalg.norm(self.landmarks - gt[i][:2], axis=1)
+                for li in np.nonzero(d < self.sensor_range)[0]:
+                    vid = 10000 + int(li)
+                    obs = np_lie.se2_apply(np_lie.se2_inverse(gt[i]),
+                                           self.landmarks[li])
+                    if vid not in lm_seen:
+                        lm_seen[vid] = True
+                        init = np_lie.se2_apply(noisy[i], obs)
+                        g.add_vertex(vid, "point_xy", init)
+                    if bearing_only:
+                        z = np.array([math.atan2(obs[1], obs[0])
+                                      + self.rng.normal(0, self.rot_noise)])
+                        g.add_edge("edge_se2_xy_bearing", (i, vid), z,
+                                   bearing_info)
+                    else:
+                        zn = obs + self.rng.normal(0, self.landmark_noise)
+                        g.add_edge("edge_se2_xy", (i, vid), zn, lm_info)
+
+        return g, gt
+
+
+class Simulator3D:
+    """3D robot on a random walk with XYZ landmarks (test_simulator3d.cpp)."""
+
+    def __init__(self, world_size: float = 20.0, n_landmarks: int = 200,
+                 trans_noise=(0.05, 0.05, 0.05), rot_noise=0.01,
+                 landmark_noise=(0.05, 0.05, 0.05), sensor_range: float = 4.0,
+                 seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+        self.world_size = world_size
+        self.landmarks = self.rng.uniform(0, world_size, size=(n_landmarks, 3))
+        self.trans_noise = np.asarray(trans_noise)
+        self.rot_noise = rot_noise
+        self.landmark_noise = np.asarray(landmark_noise)
+        self.sensor_range = sensor_range
+
+    def _rand_quat(self, scale):
+        v = self.rng.normal(0, scale, 3)
+        w = math.sqrt(max(0.0, 1 - np.dot(v, v)))
+        q = np.array([*v, w])
+        return q / np.linalg.norm(q)
+
+    def simulate(self, n_poses: int = 200, landmark_obs: bool = True,
+                 loop_closures: bool = True):
+        g = Graph()
+        g.add_parameter(0, "se3_offset", [0, 0, 0, 0, 0, 0, 1])
+        odo_info = _info_from_sigmas([*self.trans_noise] + [self.rot_noise] * 3)
+        lm_info = _info_from_sigmas(self.landmark_noise)
+
+        gt = np.zeros((n_poses, 7))
+        pose = np.array([self.world_size / 2, self.world_size / 2,
+                         self.world_size / 2, 0, 0, 0, 1.0])
+        for i in range(n_poses):
+            gt[i] = pose
+            if i + 1 < n_poses:
+                motion = np.concatenate([[1.0, 0, 0], self._rand_quat(0.15)])
+                nxt = np_lie.se3_compose(pose, motion)
+                if not np.all((0 <= nxt[:3]) & (nxt[:3] <= self.world_size)):
+                    # bounce: turn ~90 degrees about z
+                    motion = np.concatenate(
+                        [[0, 0, 0], [0, 0, math.sin(0.8), math.cos(0.8)]])
+                    nxt = np_lie.se3_compose(pose, motion)
+                pose = nxt
+
+        noisy = gt.copy()
+        g.add_vertex(0, "se3", gt[0], fixed=True)
+        for i in range(1, n_poses):
+            z = np_lie.se3_compose(np_lie.se3_inverse(gt[i - 1]), gt[i])
+            dq = self._rand_quat(self.rot_noise)
+            zn = np_lie.se3_compose(
+                np.concatenate([self.rng.normal(0, self.trans_noise),
+                                dq]), z)
+            noisy[i] = np_lie.se3_compose(noisy[i - 1], zn)
+            g.add_vertex(i, "se3", noisy[i])
+            g.add_edge("edge_se3", (i - 1, i), zn, odo_info)
+
+        if loop_closures:
+            for i in range(n_poses):
+                for j in range(i + 5, n_poses):
+                    if np.linalg.norm(gt[i][:3] - gt[j][:3]) < 1.5 \
+                            and self.rng.random() < 0.3:
+                        z = np_lie.se3_compose(np_lie.se3_inverse(gt[i]), gt[j])
+                        g.add_edge("edge_se3", (i, j), z, odo_info)
+
+        if landmark_obs:
+            seen = set()
+            for i in range(n_poses):
+                d = np.linalg.norm(self.landmarks - gt[i][:3], axis=1)
+                for li in np.nonzero(d < self.sensor_range)[0]:
+                    vid = 10000 + int(li)
+                    obs = np_lie.se3_apply(np_lie.se3_inverse(gt[i]),
+                                           self.landmarks[li])
+                    if vid not in seen:
+                        seen.add(vid)
+                        g.add_vertex(vid, "point_xyz",
+                                     np_lie.se3_apply(noisy[i], obs))
+                    zn = obs + self.rng.normal(0, self.landmark_noise)
+                    g.add_edge("edge_se3_xyz", (i, vid), zn, lm_info,
+                               param_ids=[0])
+        return g, gt
+
+
+def create_sphere(n_laps: int = 50, n_per_lap: int = 50, radius: float = 100.0,
+                  trans_noise=(0.1, 0.1, 0.1), rot_noise: float = 0.02,
+                  seed: int = 0):
+    """The sphere benchmark generator (examples/sphere/create_sphere.cpp):
+    a pose spiral over a sphere with odometry + inter-lap closures."""
+    rng = np.random.default_rng(seed)
+    g = Graph()
+    info = _info_from_sigmas([*trans_noise] + [rot_noise] * 3)
+
+    gt = []
+    for i in range(n_laps * n_per_lap):
+        phi = 2 * math.pi * (i % n_per_lap) / n_per_lap
+        theta = math.pi * (i / (n_laps * n_per_lap))
+        p = radius * np.array([math.sin(theta) * math.cos(phi),
+                               math.sin(theta) * math.sin(phi),
+                               math.cos(theta)])
+        # orientation: z along -radial, x along direction of travel
+        zax = -p / max(np.linalg.norm(p), 1e-9)
+        xax = np.array([-math.sin(phi), math.cos(phi), 0.0])
+        yax = np.cross(zax, xax)
+        R = np.stack([xax, yax, zax], axis=1)
+        # rotation matrix -> quaternion (Shepperd)
+        t = np.trace(R)
+        if t > 0:
+            s = math.sqrt(t + 1.0) * 2
+            q = np.array([(R[2, 1] - R[1, 2]) / s, (R[0, 2] - R[2, 0]) / s,
+                          (R[1, 0] - R[0, 1]) / s, 0.25 * s])
+        else:
+            k = int(np.argmax(np.diag(R)))
+            i1, i2 = (k + 1) % 3, (k + 2) % 3
+            s = math.sqrt(R[k, k] - R[i1, i1] - R[i2, i2] + 1.0) * 2
+            q = np.zeros(4)
+            q[k] = 0.25 * s
+            q[i1] = (R[i1, k] + R[k, i1]) / s
+            q[i2] = (R[i2, k] + R[k, i2]) / s
+            q[3] = (R[i2, i1] - R[i1, i2]) / s
+        q /= np.linalg.norm(q)
+        gt.append(np.concatenate([p, q]))
+    gt = np.stack(gt)
+
+    def noisy_rel(a, b):
+        z = np_lie.se3_compose(np_lie.se3_inverse(a), b)
+        v = rng.normal(0, rot_noise, 3)
+        w = math.sqrt(max(0.0, 1 - np.dot(v, v)))
+        dq = np.array([*v, w])
+        return np_lie.se3_compose(
+            np.concatenate([rng.normal(0, trans_noise), dq / np.linalg.norm(dq)]), z)
+
+    n = len(gt)
+    noisy = gt.copy()
+    g.add_vertex(0, "se3", gt[0], fixed=True)
+    for i in range(1, n):
+        zn = noisy_rel(gt[i - 1], gt[i])
+        noisy[i] = np_lie.se3_compose(noisy[i - 1], zn)
+        g.add_vertex(i, "se3", noisy[i])
+        g.add_edge("edge_se3", (i - 1, i), zn, info)
+    # inter-lap closures: connect to the pose one lap earlier
+    for i in range(n_per_lap, n):
+        j = i - n_per_lap
+        if rng.random() < 0.5:
+            g.add_edge("edge_se3", (j, i), noisy_rel(gt[j], gt[i]), info)
+    return g, gt
+
+
+def main(argv=None):
+    import argparse
+    from openslam_g2o_tpu.io.g2o_format import save_g2o
+
+    p = argparse.ArgumentParser(
+        prog="tpu_g2o_simulator",
+        description="synthetic dataset generator (g2o_simulator equivalent)")
+    p.add_argument("output", help="output .g2o file")
+    p.add_argument("-type", choices=["2d", "3d", "sphere"], default="2d")
+    p.add_argument("-nodes", type=int, default=300)
+    p.add_argument("-nlandmarks", type=int, default=100)
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-bearingOnly", action="store_true")
+    p.add_argument("-noLoop", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.type == "2d":
+        sim = Simulator2D(n_landmarks=args.nlandmarks, seed=args.seed)
+        g, _ = sim.simulate(args.nodes, bearing_only=args.bearingOnly,
+                            loop_closures=not args.noLoop)
+    elif args.type == "3d":
+        sim = Simulator3D(n_landmarks=args.nlandmarks, seed=args.seed)
+        g, _ = sim.simulate(args.nodes, loop_closures=not args.noLoop)
+    else:
+        g, _ = create_sphere(seed=args.seed)
+    save_g2o(g, args.output)
+    print(f"wrote {g.num_vertices()} vertices, {g.num_edges()} edges "
+          f"to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(main())

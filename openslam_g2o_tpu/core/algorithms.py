@@ -28,8 +28,8 @@ from openslam_g2o_tpu.core.problem import (
 )
 from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
 
-__all__ = ["GaussNewton", "LevenbergMarquardt", "Dogleg", "optimize",
-           "TerminateCriterion"]
+__all__ = ["GaussNewton", "LevenbergMarquardt", "LevenbergMarquardtPCG",
+           "Dogleg", "optimize", "TerminateCriterion"]
 
 
 # ---------------------------------------------------------------------------
@@ -157,6 +157,132 @@ class LevenbergMarquardt:
             "levenberg_iters": int(trials),
             "ok": bool(accepted),
         }
+        return new_state, info
+
+
+# ---------------------------------------------------------------------------
+# Levenberg-Marquardt with matrix-free PCG
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters"))
+def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
+                 max_trials: int = 10, pcg_iters: int = 150):
+    """LM iteration solving H dx = b by block-ELL matrix-free PCG.
+
+    The Hessian lives in the block-ELL layout (core/sparse.py): assembly is
+    one scatter per slot pair per LM iteration, and each PCG matvec is pure
+    gather+einsum — the structure TPUs want (scatters would serialize the
+    hot loop). The inexact step is safe: the gain-ratio test rejects bad
+    steps exactly like the reference treats a failed linear solve
+    (optimization_algorithm_levenberg.cpp:119-120; PCG backend
+    linear_solver_pcg.h:47-110).
+    """
+    from openslam_g2o_tpu.core.problem import (
+        apply_update_parts, block_jacobi_preconditioner)
+    from openslam_g2o_tpu.core.sparse import assemble_ell, ell_matvec
+    from openslam_g2o_tpu.core.solvers import _tree_dot, pcg_solve
+
+    work = prob.with_params(params)
+    lin = linearize(work)
+    values, b = assemble_ell(work, pattern, lin)
+    diag_blocks = pattern.diag_blocks(work, values)
+    # per-group damping masks: lam on free slots, +1 on fixed slots
+    free_parts = {g.name: work.free[g.name][:, None]
+                  for g in work.static.vgroups}
+
+    def trial_cond(st):
+        trials, done, rho = st[0], st[1], st[2]
+        return jnp.logical_and(jnp.logical_not(done),
+                               jnp.logical_and(rho < 0, trials < max_trials))
+
+    def trial_body(st):
+        trials, done, rho, lam, ni, best_params, best_chi = st
+        extra = {k: lam * f + (1.0 - f) for k, f in free_parts.items()}
+        damped = lambda x: ell_matvec(work, pattern, values, x, extra_diag=extra)
+        precond = block_jacobi_preconditioner(work, diag_blocks, lam)
+        dx, ok = pcg_solve(damped, b, precond=precond, max_iter=pcg_iters,
+                           tol=1e-8)
+        cand = apply_update_parts(work, dx)
+        chi_new = robust_chi2(work, cand)
+        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        scale = _tree_dot(dx, jax.tree_util.tree_map(
+            lambda d, bi: lam * d + bi, dx, b)) + 1e-3
+        rho = (chi_cur - chi_new) / scale
+        accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
+        alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+        good_scale = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
+        lam = jnp.where(accept, lam * good_scale, lam * ni)
+        ni = jnp.where(accept, 2.0, ni * 2.0)
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_chi = jnp.where(accept, chi_new, best_chi)
+        return trials + 1, accept, rho, lam, ni, best_params, best_chi
+
+    init = (jnp.int32(0), jnp.array(False), jnp.array(-1.0, prob.dtype),
+            lam, ni, params, chi_cur)
+    trials, accepted, rho, lam, ni, best_params, best_chi = jax.lax.while_loop(
+        trial_cond, trial_body, init)
+    return best_params, lam, ni, best_chi, trials, accepted
+
+
+@jax.jit
+def _lambda_init_pcg(prob: Problem, pattern, params: dict, tau):
+    from openslam_g2o_tpu.core.sparse import assemble_ell
+    work = prob.with_params(params)
+    lin = linearize(work)
+    values, _ = assemble_ell(work, pattern, lin)
+    diag_blocks = pattern.diag_blocks(work, values)
+    m = jnp.zeros((), prob.dtype)
+    for g in prob.static.vgroups:
+        d = jnp.abs(jnp.diagonal(diag_blocks[g.name], axis1=1, axis2=2))
+        m = jnp.maximum(m, jnp.max(d * prob.free[g.name][:, None]))
+    return tau * m
+
+
+class LevenbergMarquardtPCG:
+    """LM + block-ELL matrix-free block-Jacobi PCG — the TPU-native
+    `lm_var_pcg`. The ELL pattern is computed host-side once per graph
+    topology (the analogue of buildStructure's symbolic phase,
+    block_solver.hpp:143-295)."""
+
+    name = "lm_pcg"
+
+    def __init__(self, initial_lambda: float = 0.0,
+                 max_trials_after_failure: int = 10, tau: float = 1e-5,
+                 pcg_iters: int = 150):
+        self.initial_lambda = initial_lambda
+        self.max_trials = max_trials_after_failure
+        self.tau = tau
+        self.pcg_iters = pcg_iters
+        self._pattern = None
+        self._pattern_for = None
+
+    def pattern(self, prob: Problem):
+        if self._pattern_for is not prob.static:
+            from openslam_g2o_tpu.core.sparse import build_ell_pattern
+            self._pattern = build_ell_pattern(prob)
+            self._pattern_for = prob.static
+        return self._pattern
+
+    def init(self, prob: Problem):
+        pattern = self.pattern(prob)
+        if self.initial_lambda > 0:
+            lam = jnp.asarray(self.initial_lambda, prob.dtype)
+        else:
+            lam = _lambda_init_pcg(prob, pattern, prob.params,
+                                   jnp.asarray(self.tau, prob.dtype))
+        return {"params": prob.params, "lam": lam,
+                "ni": jnp.asarray(2.0, prob.dtype),
+                "chi2": robust_chi2(prob)}
+
+    def step(self, prob: Problem, state: dict):
+        params, lam, ni, chi, trials, accepted = _lm_pcg_step(
+            prob, self.pattern(prob), state["params"], state["lam"],
+            state["ni"], state["chi2"],
+            max_trials=self.max_trials, pcg_iters=self.pcg_iters)
+        new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
+        info = {"chi2": float(chi), "lambda": float(lam),
+                "levenberg_iters": int(trials), "ok": bool(accepted)}
         return new_state, info
 
 

@@ -1,0 +1,291 @@
+"""Schur-complement bundle adjustment: landmark marginalization on TPU.
+
+TPU-native re-design of the reference's BlockSolver Schur path
+(g2o/core/block_solver.hpp:143-295 buildStructure, :353-486 solve): the
+reference materializes Hschur = Hpp - Hpl Hll^-1 Hpl^T block-by-block under
+OpenMP mutexes and hands it to CHOLMOD. Here the landmark system is never
+materialized globally:
+
+* Hpp (pose-pose) is assembled dense over the pose tangent block — on TPU a
+  [Tp, Tp] dense matrix is cheap for Tp up to ~2e4,
+* Hll is a batched ``[L, d, d]`` block-diagonal (landmarks are conditionally
+  independent — the same assumption the reference's Schur layout makes),
+  inverted with one batched solve,
+* Hpl lives as per-edge blocks W_e; the reduced system S = Hpp - W Hll^-1 W^T
+  is applied **matrix-free** inside block-Jacobi PCG: two segment_sums and
+  two gathers per matvec, O(E) work, no landmark-pair enumeration — the
+  collective-friendly formulation of block_solver.hpp:381-432's mutex loop,
+* back-substitution dx_l = Hll^-1 (b_l - W^T dx_p) is one more segment_sum.
+
+Requires: at most ONE marginalized vertex group, and every edge touches at
+most one marginalized vertex (the reference's landmark assumption).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from openslam_g2o_tpu.core import registry
+from openslam_g2o_tpu.core.problem import (
+    Problem, apply_update, linearize, robust_chi2, _slot_tangent_indices,
+)
+
+__all__ = ["schur_build", "schur_solve", "LevenbergMarquardtSchur"]
+
+
+def _landmark_group(problem: Problem):
+    mg = problem.static.marginalized_groups
+    if len(mg) != 1:
+        raise ValueError(
+            f"Schur solver expects exactly one marginalized group, got "
+            f"{[g.name for g in mg]}")
+    return mg[0]
+
+
+def schur_build(problem: Problem, params: Optional[dict] = None,
+                lin: Optional[dict] = None):
+    """Assemble {Hpp, b_p, Hll, b_l, per-edge W blocks}.
+
+    Pose tangent dims: [0, Tp); landmark group occupies [Tp, T).
+    Fixed vertices are already masked out of the Jacobians by linearize().
+    """
+    lg = _landmark_group(problem)
+    Tp = problem.static.pose_dim
+    dt = problem.dtype
+    dl = lg.tangent_dim
+    L = lg.count
+    if lin is None:
+        lin = linearize(problem, params)
+
+    Hpp = jnp.zeros((Tp, Tp), dtype=dt)
+    b_p = jnp.zeros((Tp,), dtype=dt)
+    Hll = jnp.zeros((L, dl, dl), dtype=dt)
+    b_l = jnp.zeros((L, dl), dtype=dt)
+    cross = []  # per edge group with a landmark slot: (W, rows, lidx, pgroup)
+
+    for eg in problem.static.egroups:
+        ea = problem.edges[eg.key]
+        resid, jacs, w = lin[eg.key]
+        w_omega = w[:, None, None] * ea.information
+        k = eg.etype.num_vertices
+        slot_groups = [problem.static.vgroup(g) for g in eg.slots]
+        lm_slots = [s for s in range(k) if slot_groups[s].name == lg.name]
+        if len(lm_slots) > 1:
+            raise ValueError(
+                f"edge {eg.key} touches {len(lm_slots)} marginalized vertices; "
+                f"Schur requires at most one (landmark independence)")
+        pose_slots = [s for s in range(k) if s not in lm_slots]
+
+        idx = [_slot_tangent_indices(slot_groups[s], ea.indices[s])
+               for s in range(k)]
+
+        for s in pose_slots:
+            js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
+            b_p = b_p.at[idx[s]].add(-jnp.einsum("esb,eb->es", js_w, resid))
+            for t in pose_slots:
+                if t < s:
+                    continue
+                blk = jnp.einsum("esb,ebt->est", js_w, jacs[t])
+                Hpp = Hpp.at[idx[s][:, :, None], idx[t][:, None, :]].add(blk)
+                if t != s:
+                    Hpp = Hpp.at[idx[t][:, :, None], idx[s][:, None, :]].add(
+                        jnp.swapaxes(blk, 1, 2))
+
+        for s in lm_slots:
+            li = ea.indices[s]
+            js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
+            Hll = Hll.at[li].add(jnp.einsum("esb,ebt->est", js_w, jacs[s]))
+            b_l = b_l.at[li].add(-jnp.einsum("esb,eb->es", js_w, resid))
+            for t in pose_slots:
+                W = jnp.einsum("eas,eab,ebt->est", jacs[t], w_omega, jacs[s])
+                cross.append((W, idx[t], li))  # W: [E, Dp, dl]
+
+    return {"Hpp": Hpp, "b_p": b_p, "Hll": Hll, "b_l": b_l, "cross": cross,
+            "L": L, "dl": dl, "Tp": Tp}
+
+
+def _pose_masks(problem: Problem):
+    """free/fixed masks restricted to the pose tangent block."""
+    parts = []
+    for g in problem.static.vgroups:
+        if g.offset < problem.static.pose_dim:
+            parts.append(jnp.repeat(problem.free[g.name], g.tangent_dim))
+    free_p = jnp.concatenate(parts)
+    return free_p, 1.0 - free_p
+
+
+def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
+                pcg_tol: float = 1e-8):
+    """Solve the damped system via the reduced pose system + back-substitution.
+
+    Returns (dx_full [T], ok). Damping adds lam to every free diagonal entry
+    (the reference's setLambda, block_solver.hpp:564-589).
+    """
+    lg = _landmark_group(problem)
+    Hpp, b_p, Hll, b_l = sys["Hpp"], sys["b_p"], sys["Hll"], sys["b_l"]
+    cross = sys["cross"]
+    L, dl, Tp = sys["L"], sys["dl"], sys["Tp"]
+    dt = problem.dtype
+
+    free_p, fixed_p = _pose_masks(problem)
+    free_l = problem.free[lg.name]
+    eye = jnp.eye(dl, dtype=dt)
+
+    # damped landmark blocks; fixed landmarks get identity (their b is 0)
+    Hll_d = Hll + (lam * free_l + (1.0 - free_l))[:, None, None] * eye
+    Hinv = jnp.linalg.inv(Hll_d)
+
+    Hpp_d = Hpp + jnp.diag(lam * free_p + fixed_p)
+
+    # reduced rhs: b_p - sum_e W_e (Hinv b_l)_{l(e)}
+    hib = jnp.einsum("lst,lt->ls", Hinv, b_l)            # [L, dl]
+    b_red = b_p
+    for W, rows, li in cross:
+        b_red = b_red.at[rows].add(-jnp.einsum("est,et->es", W, hib[li]))
+
+    def s_matvec(x):
+        """S x = Hpp_d x - W Hinv W^T x, all segment ops."""
+        y = Hpp_d @ x
+        u = jnp.zeros((L, dl), dtype=dt)
+        for W, rows, li in cross:
+            u = u.at[li].add(jnp.einsum("est,es->et", W, x[rows]))
+        v = jnp.einsum("lst,lt->ls", Hinv, u)
+        for W, rows, li in cross:
+            y = y.at[rows].add(-jnp.einsum("est,et->es", W, v[li]))
+        return y
+
+    # block-Jacobi preconditioner on the pose groups: diagonal blocks of S
+    # (exact when each (pose, landmark) pair appears in one edge — true for
+    # BA observations)
+    precond_blocks = []
+    pose_groups = [g for g in problem.static.vgroups
+                   if g.offset < problem.static.pose_dim]
+    for g in pose_groups:
+        D = g.tangent_dim
+        gidx = (g.offset + jnp.arange(g.count, dtype=jnp.int32)[:, None] * D
+                + jnp.arange(D, dtype=jnp.int32)[None, :])
+        blocks = Hpp_d[gidx[:, :, None], gidx[:, None, :]]      # [N, D, D]
+        for W, rows, li in cross:
+            in_group = jnp.logical_and(rows[:, 0] >= g.offset,
+                                       rows[:, 0] < g.offset + g.count * D)
+            # local vertex index of each edge's pose slot within this group
+            vi = (rows[:, 0] - g.offset) // D
+            vi = jnp.where(in_group, vi, 0)
+            corr = jnp.einsum("est,etu,evu->esv", W, Hinv[li], W)
+            corr = corr * in_group[:, None, None]
+            if W.shape[1] == D:
+                blocks = blocks.at[vi].add(-corr)
+        precond_blocks.append((g, gidx, jnp.linalg.inv(blocks)))
+
+    def precond(r):
+        out = jnp.zeros_like(r)
+        for g, gidx, binv in precond_blocks:
+            rg = r[gidx]                                       # [N, D]
+            out = out.at[gidx].set(jnp.einsum("nst,nt->ns", binv, rg))
+        return out
+
+    # PCG on the reduced system
+    from openslam_g2o_tpu.core.solvers import pcg_solve
+    dx_p, ok = pcg_solve(s_matvec, b_red, precond=precond,
+                         max_iter=pcg_iters, tol=pcg_tol)
+    dx_p = dx_p * free_p
+
+    # back-substitute landmarks: dx_l = Hinv (b_l - W^T dx_p)
+    u = jnp.zeros((L, dl), dtype=dt)
+    for W, rows, li in cross:
+        u = u.at[li].add(jnp.einsum("est,es->et", W, dx_p[rows]))
+    dx_l = jnp.einsum("lst,lt->ls", Hinv, b_l - u) * free_l[:, None]
+
+    dx = jnp.concatenate([dx_p, dx_l.reshape(-1)])
+    b_full = jnp.concatenate([b_p, b_l.reshape(-1)])
+    raw_diag = jnp.concatenate([jnp.diagonal(Hpp),
+                                jnp.diagonal(Hll, axis1=1, axis2=2).reshape(-1)])
+    return dx, ok, b_full, raw_diag
+
+
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters"))
+def _lm_schur_step(prob: Problem, params: dict, lam, ni, chi_cur,
+                   max_trials: int = 10, pcg_iters: int = 250):
+    """One LM iteration with Schur-complement landmark elimination.
+    Trial-loop semantics identical to _lm_step (LM reference
+    optimization_algorithm_levenberg.cpp:95-142)."""
+    work = prob.with_params(params)
+    lin = linearize(work)
+    sys = schur_build(work, lin=lin)
+
+    def trial_cond(st):
+        trials, done, rho = st[0], st[1], st[2]
+        return jnp.logical_and(jnp.logical_not(done),
+                               jnp.logical_and(rho < 0, trials < max_trials))
+
+    def trial_body(st):
+        trials, done, rho, lam, ni, best_params, best_chi = st
+        dx, ok, b_full, _ = schur_solve(work, sys, lam, pcg_iters=pcg_iters)
+        cand = apply_update(work, dx)
+        chi_new = robust_chi2(work, cand)
+        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        scale = jnp.dot(dx, lam * dx + b_full) + 1e-3
+        rho = (chi_cur - chi_new) / scale
+        accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
+        alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+        good_scale = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
+        lam = jnp.where(accept, lam * good_scale, lam * ni)
+        ni = jnp.where(accept, 2.0, ni * 2.0)
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_chi = jnp.where(accept, chi_new, best_chi)
+        return trials + 1, accept, rho, lam, ni, best_params, best_chi
+
+    init = (jnp.int32(0), jnp.array(False), jnp.array(-1.0, prob.dtype),
+            lam, ni, params, chi_cur)
+    trials, accepted, rho, lam, ni, best_params, best_chi = jax.lax.while_loop(
+        trial_cond, trial_body, init)
+    return best_params, lam, ni, best_chi, trials, accepted
+
+
+@jax.jit
+def _schur_lambda_init(prob: Problem, params: dict, tau):
+    work = prob.with_params(params)
+    sys = schur_build(work)
+    raw = jnp.concatenate([jnp.diagonal(sys["Hpp"]),
+                           jnp.diagonal(sys["Hll"], axis1=1, axis2=2).reshape(-1)])
+    return tau * jnp.max(jnp.abs(raw))
+
+
+class LevenbergMarquardtSchur:
+    """LM with Schur landmark marginalization — the `lm_fix6_3`-style
+    configuration of the reference (requiresMarginalize algorithms,
+    solver_csparse.cpp:104-124)."""
+
+    name = "lm_schur"
+
+    def __init__(self, initial_lambda: float = 0.0,
+                 max_trials_after_failure: int = 10, tau: float = 1e-5,
+                 pcg_iters: int = 250):
+        self.initial_lambda = initial_lambda
+        self.max_trials = max_trials_after_failure
+        self.tau = tau
+        self.pcg_iters = pcg_iters
+
+    def init(self, prob: Problem):
+        if self.initial_lambda > 0:
+            lam = jnp.asarray(self.initial_lambda, prob.dtype)
+        else:
+            lam = _schur_lambda_init(prob, prob.params,
+                                     jnp.asarray(self.tau, prob.dtype))
+        return {"params": prob.params, "lam": lam,
+                "ni": jnp.asarray(2.0, prob.dtype),
+                "chi2": robust_chi2(prob)}
+
+    def step(self, prob: Problem, state: dict):
+        params, lam, ni, chi, trials, accepted = _lm_schur_step(
+            prob, state["params"], state["lam"], state["ni"], state["chi2"],
+            max_trials=self.max_trials, pcg_iters=self.pcg_iters)
+        new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
+        info = {"chi2": float(chi), "lambda": float(lam),
+                "levenberg_iters": int(trials), "ok": bool(accepted)}
+        return new_state, info

@@ -19,7 +19,8 @@ import re
 from typing import Optional
 
 from openslam_g2o_tpu.core.algorithms import (
-    Dogleg, GaussNewton, LevenbergMarquardt)
+    Dogleg, GaussNewton, LevenbergMarquardt, LevenbergMarquardtPCG)
+from openslam_g2o_tpu.core.ba import LevenbergMarquardtSchur
 
 __all__ = ["construct_algorithm", "list_algorithms", "AlgorithmSpec"]
 
@@ -40,7 +41,11 @@ class AlgorithmSpec:
         self.backend = backend
         self.marginalize = marginalize
 
-    def make(self, **props):
+    def make(self, marginalize: bool = False, **props):
+        if (marginalize or self.marginalize) and self.algo_name == "lm":
+            return LevenbergMarquardtSchur(**props)
+        if self.backend == "pcg" and self.algo_name == "lm":
+            return LevenbergMarquardtPCG(**props)
         return _ALGOS[self.algo_name](**props)
 
 

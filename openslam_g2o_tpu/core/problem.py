@@ -82,12 +82,25 @@ class ProblemStatic:
     vgroups: tuple
     egroups: tuple
     total_dim: int
+    # tangent dims [0, pose_dim) belong to non-marginalized groups; groups at
+    # [pose_dim, total_dim) are marginalizable (Schur-eliminated landmarks).
+    # Mirrors buildIndexMapping's poses-first ordering
+    # (sparse_optimizer.cpp:166-190).
+    pose_dim: int = -1
+
+    def __post_init__(self):
+        if self.pose_dim < 0:
+            object.__setattr__(self, "pose_dim", self.total_dim)
 
     def vgroup(self, name: str) -> VGroup:
         for g in self.vgroups:
             if g.name == name:
                 return g
         raise KeyError(name)
+
+    @property
+    def marginalized_groups(self):
+        return tuple(g for g in self.vgroups if g.offset >= self.pose_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -136,11 +149,18 @@ def build_problem(graph, dtype=None, level: int = 0) -> Problem:
     if dtype is None:
         dtype = jnp.zeros((), jnp.float64).dtype  # f64 if x64 enabled else f32
 
-    # --- vertex groups, in first-seen order; assign local indices
+    # --- vertex groups, in first-seen order; marginalizable (landmark)
+    # groups are laid out last in the tangent vector, poses first, matching
+    # buildIndexMapping (sparse_optimizer.cpp:166-190)
     order: dict[str, list] = {}
     local_index: dict[int, tuple] = {}
     for vid, rec in graph.vertices.items():
         order.setdefault(rec.vtype.name, []).append(rec)
+    group_names = sorted(order, key=lambda n: order[n][0].vtype.marginalizable)
+    order = {n: order[n] for n in group_names}
+    pose_dim = sum(len(recs) * recs[0].vtype.tangent_dim
+                   for recs in order.values()
+                   if not recs[0].vtype.marginalizable)
     vgroups = []
     params = {}
     free = {}
@@ -186,7 +206,7 @@ def build_problem(graph, dtype=None, level: int = 0) -> Problem:
         edges[key] = EdgeArrays(tuple(idx_cols), meas, info, delta, tuple(pdata))
         egroups.append(EGroup(key, et, kid, len(recs)))
 
-    static = ProblemStatic(tuple(vgroups), tuple(egroups), offset)
+    static = ProblemStatic(tuple(vgroups), tuple(egroups), offset, pose_dim)
     return Problem(params, free, edges, static)
 
 
@@ -380,6 +400,88 @@ def build_dense_system(problem: Problem, params: Optional[dict] = None,
         _, fixed_t = tangent_masks(problem)
         H = H + jnp.diag(fixed_t)  # unit diagonal on fixed slots keeps H SPD
     return H, b, raw_diag
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free Hessian operator (for PCG)
+# ---------------------------------------------------------------------------
+
+def hessian_operator(problem: Problem, lin: dict):
+    """Return (matvec, diag_blocks, b) where matvec(x) = H x applied
+    edge-wise — H = sum_e J_e^T W_e J_e is never materialized, each
+    application is two gathers + one scatter-add per slot pair (O(E) work,
+    the TPU-native analogue of BlockSolverBase::multiplyHessian,
+    block_solver.h:90), and diag_blocks[group] is the [N, D, D] block
+    diagonal for block-Jacobi preconditioning (linear_solver_pcg.h:47).
+    """
+    dt = problem.dtype
+    T = problem.static.total_dim
+    b = jnp.zeros((T,), dtype=dt)
+    diag_blocks = {
+        g.name: jnp.zeros((g.count, g.tangent_dim, g.tangent_dim), dtype=dt)
+        for g in problem.static.vgroups}
+    terms = []  # (rows_s, rows_t, A_st [E, Ds, Dt]) meaning y[rows_s] += A x[rows_t]
+
+    for eg in problem.static.egroups:
+        ea = problem.edges[eg.key]
+        resid, jacs, w = lin[eg.key]
+        w_omega = w[:, None, None] * ea.information
+        k = eg.etype.num_vertices
+        groups = [problem.static.vgroup(g) for g in eg.slots]
+        idx = [_slot_tangent_indices(groups[s], ea.indices[s]) for s in range(k)]
+        for s in range(k):
+            js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
+            b = b.at[idx[s]].add(-jnp.einsum("esb,eb->es", js_w, resid))
+            for t in range(s, k):
+                blk = jnp.einsum("esb,ebt->est", js_w, jacs[t])
+                terms.append((idx[s], idx[t], blk))
+                if t != s:
+                    terms.append((idx[t], idx[s], jnp.swapaxes(blk, 1, 2)))
+                else:
+                    diag_blocks[groups[s].name] = (
+                        diag_blocks[groups[s].name].at[ea.indices[s]].add(blk))
+
+    _, fixed_t = tangent_masks(problem)
+
+    def matvec(x):
+        y = fixed_t * x  # unit diagonal on fixed slots
+        for rows_s, rows_t, blk in terms:
+            y = y.at[rows_s].add(jnp.einsum("est,et->es", blk, x[rows_t]))
+        return y
+
+    return matvec, diag_blocks, b
+
+
+def block_jacobi_preconditioner(problem: Problem, diag_blocks: dict, lam):
+    """Batched inverse of the damped block diagonal; returns precond(r) over
+    per-group part dicts (pure batched einsums — no gather/scatter in the
+    PCG loop). Fixed vertices get identity blocks."""
+    dt = problem.dtype
+    invs = {}
+    for g in problem.static.vgroups:
+        D = g.tangent_dim
+        eye = jnp.eye(D, dtype=dt)
+        free = problem.free[g.name]
+        blocks = (diag_blocks[g.name] + lam * eye[None]) * free[:, None, None] \
+            + (1.0 - free)[:, None, None] * eye[None]
+        invs[g.name] = jnp.linalg.inv(blocks)
+
+    def precond(r: dict):
+        return {name: jnp.einsum("nst,nt->ns", invs[name], r[name])
+                for name in r}
+
+    return precond
+
+
+def apply_update_parts(problem: Problem, dx_parts: dict,
+                       params: Optional[dict] = None) -> dict:
+    """apply_update for per-group part dicts (dx as [N, D] per group)."""
+    params = problem.params if params is None else params
+    new_params = {}
+    for g in problem.static.vgroups:
+        delta = dx_parts[g.name] * problem.free[g.name][:, None]
+        new_params[g.name] = jax.vmap(g.vtype.retract)(params[g.name], delta)
+    return new_params
 
 
 # ---------------------------------------------------------------------------

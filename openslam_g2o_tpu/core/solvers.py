@@ -35,43 +35,60 @@ def solve_dense_cholesky(H, b):
     return jnp.where(ok, x, jnp.zeros_like(x)), ok
 
 
+def _tree_dot(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree_util.tree_map(lambda xi, yi: alpha * xi + yi, x, y)
+
+
 def pcg_solve(matvec, b, precond=None, max_iter: int = 100,
-              tol: float = 1e-6, x0: Optional[jnp.ndarray] = None):
+              tol: float = 1e-6, x0=None):
     """Preconditioned conjugate gradient with a fixed iteration budget.
 
     Matrix-free analogue of LinearSolverPCG (linear_solver_pcg.h:47-110):
     `matvec` applies H (typically as batched per-edge products + damping) and
-    `precond` applies the block-Jacobi inverse. Runs as a lax.while_loop so it
-    jits into a single fused program.
+    `precond` applies the block-Jacobi inverse. Runs as a lax.while_loop so
+    it jits into a single fused program.
+
+    Operands may be flat arrays OR pytrees of per-group parts — the pytree
+    form keeps the hot loop free of gather/scatter on TPU.
 
     Returns (x, ok).
     """
     if precond is None:
         precond = lambda r: r
-    x = jnp.zeros_like(b) if x0 is None else x0
-    r = b - matvec(x)
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, b)
+    x = zeros if x0 is None else x0
+    r = jax.tree_util.tree_map(lambda bi, hxi: bi - hxi, b, matvec(x))
     z = precond(r)
     p = z
-    rz = jnp.dot(r, z)
-    b2 = jnp.maximum(jnp.dot(b, b), 1e-30)
+    rz = _tree_dot(r, z)
+    b2 = jnp.maximum(_tree_dot(b, b), 1e-30)
 
     def cond(state):
         i, x, r, p, rz = state
-        return jnp.logical_and(i < max_iter, jnp.dot(r, r) > tol * tol * b2)
+        return jnp.logical_and(i < max_iter, _tree_dot(r, r) > tol * tol * b2)
 
     def body(state):
         i, x, r, p, rz = state
         hp = matvec(p)
-        denom = jnp.dot(p, hp)
+        denom = _tree_dot(p, hp)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
-        x = x + alpha * p
-        r = r - alpha * hp
+        x = _tree_axpy(alpha, p, x)
+        r = _tree_axpy(-alpha, hp, r)
         z = precond(r)
-        rz_new = jnp.dot(r, z)
+        rz_new = _tree_dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-        p = z + beta * p
+        p = _tree_axpy(beta, p, z)
         return i + 1, x, r, p, rz_new
 
     _, x, r, _, _ = jax.lax.while_loop(cond, body, (0, x, r, p, rz))
-    ok = jnp.all(jnp.isfinite(x))
-    return jnp.where(ok, x, jnp.zeros_like(x)), ok
+    ok = jnp.all(jnp.asarray(
+        [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(x)]))
+    x = jax.tree_util.tree_map(
+        lambda xi: jnp.where(ok, xi, jnp.zeros_like(xi)), x)
+    return x, ok

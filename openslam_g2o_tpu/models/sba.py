@@ -1,0 +1,278 @@
+"""Bundle-adjustment types: expmap cameras, SBA cameras with intrinsics,
+3D points, and projection edges.
+
+TPU-native re-design of g2o/types/sba (types_sba.cpp + types_six_dof_expmap
+.cpp registrations). Conventions matched to the reference:
+
+* VertexSE3Expmap stores the **world-to-camera** transform; the .g2o file
+  carries camera-to-world (t, q) which is inverted on read/write
+  (types_six_dof_expmap.cpp:88-104). oplus is a LEFT multiply by
+  exp(xi), xi = (omega, upsilon) (types_six_dof_expmap.h:101-104).
+* CameraParameters: single focal length + principal point + stereo baseline;
+  cam_map(p) = f * p.xy/p.z + c (types_six_dof_expmap.cpp:69-82).
+* VertexCam (SBACam) stores the camera-to-world pose plus per-camera
+  intrinsics (fx, fy, cx, cy, baseline); projection uses
+  K [R^T | -R^T t] (sbacam.h:120-159); oplus adds the translation update
+  directly and post-multiplies the compact quaternion update
+  (sbacam.h:101-117).
+* Projection edges are (point, camera) — slot 0 is the POINT
+  (types_six_dof_expmap.h:143-150, types_sba.h:170-192).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from openslam_g2o_tpu.core.registry import (
+    VertexType, EdgeType, ParameterType,
+    register_vertex_type, register_edge_type, register_parameter_type,
+)
+from openslam_g2o_tpu.ops import lie
+from openslam_g2o_tpu.utils import np_lie
+
+
+def _rn_retract(params, delta):
+    return params + delta
+
+
+# ---------------------------------------------------------------------------
+# Vertices
+# ---------------------------------------------------------------------------
+
+def _se3_file_to_w2c(v):
+    """File (t, q) is cam-to-world; estimate is world-to-cam
+    (types_six_dof_expmap.cpp:92-94)."""
+    return np_lie.se3_inverse(np.asarray(v, dtype=np.float64))
+
+
+VERTEX_SE3_EXPMAP = register_vertex_type(VertexType(
+    name="se3_expmap",
+    tag="VERTEX_SE3:EXPMAP",
+    ambient_dim=7,
+    tangent_dim=6,
+    retract=lie.se3_retract_expmap_left,
+    origin=lambda dtype: lie.se3_identity(dtype),
+    file_dim=7,
+    from_file=_se3_file_to_w2c,
+    to_file=_se3_file_to_w2c,  # involution: w2c -> c2w
+))
+
+VERTEX_SBA_XYZ = register_vertex_type(VertexType(
+    name="sba_point_xyz",
+    tag="VERTEX_XYZ",
+    ambient_dim=3,
+    tangent_dim=3,
+    retract=_rn_retract,
+    origin=lambda dtype: jnp.zeros(3, dtype=dtype),
+    marginalizable=True,
+))
+
+
+def _cam_retract(params, delta):
+    """SBACam::update (sbacam.h:101-117): t += dt; r = r * dq; intrinsics
+    (last 5 entries) are constant."""
+    t = params[:3] + delta[:3]
+    dq = lie.quat_from_compact(delta[3:6])
+    q = lie.quat_normalize(lie.quat_mul(params[3:7], dq))
+    return jnp.concatenate([t, q, params[7:12]])
+
+
+VERTEX_CAM = register_vertex_type(VertexType(
+    name="cam",
+    tag="VERTEX_CAM",
+    ambient_dim=12,                   # t(3), q(4), fx, fy, cx, cy, baseline
+    tangent_dim=6,
+    retract=_cam_retract,
+    origin=lambda dtype: jnp.asarray(
+        [0, 0, 0, 0, 0, 0, 1, 1, 1, 0, 0, 0], dtype=dtype),
+    file_dim=12,
+))
+
+
+def _intrinsics_retract(params, delta):
+    """VertexIntrinsics (types_sba.h:106-120): the first 4 entries are
+    optimized additively; the baseline stays fixed."""
+    return params.at[:4].add(delta)
+
+
+VERTEX_INTRINSICS = register_vertex_type(VertexType(
+    name="intrinsics",
+    tag="VERTEX_INTRINSICS",
+    ambient_dim=5,                    # fx, fy, cx, cy, baseline
+    tangent_dim=4,
+    retract=_intrinsics_retract,
+    origin=lambda dtype: jnp.asarray([1, 1, 0.5, 0.5, 0.1], dtype=dtype),
+))
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+PARAMS_CAMERA = register_parameter_type(ParameterType(
+    name="camera_parameters",
+    tag="PARAMS_CAMERAPARAMETERS",
+    dim=4,                            # focal, cx, cy, baseline
+))
+
+
+def cam_map(p, focal, cx, cy):
+    """CameraParameters::cam_map (types_six_dof_expmap.cpp:69-76)."""
+    z = p[2]
+    return jnp.stack([p[0] / z * focal + cx, p[1] / z * focal + cy])
+
+
+# ---------------------------------------------------------------------------
+# Edges — expmap family
+# ---------------------------------------------------------------------------
+
+def _edge_se3_expmap_error(vparams, meas, pdata):
+    """EdgeSE3Expmap: log(T2^-1 * Z * T1), T are world-to-cam
+    (types_six_dof_expmap.h:120-127); measurement is (t, q) of Z."""
+    t1, t2 = vparams
+    err = lie.se3_compose(lie.se3_inverse(t2), lie.se3_compose(meas, t1))
+    return lie.se3_log(err)
+
+
+EDGE_SE3_EXPMAP = register_edge_type(EdgeType(
+    name="edge_se3_expmap",
+    tag="EDGE_SE3:EXPMAP",
+    vertex_types=("se3_expmap", "se3_expmap"),
+    error_dim=6,
+    measurement_dim=7,
+    error=_edge_se3_expmap_error,
+))
+
+
+def _edge_xyz2uv_error(vparams, meas, pdata):
+    """EdgeProjectXYZ2UV: obs - cam_map(T_w2c * point)
+    (types_six_dof_expmap.h:143-150). Slot 0 = point, slot 1 = camera."""
+    point, t_w2c = vparams
+    (cam,) = pdata                    # (focal, cx, cy, baseline)
+    pc = lie.se3_apply(t_w2c, point)
+    return meas - cam_map(pc, cam[0], cam[1], cam[2])
+
+
+EDGE_PROJECT_XYZ2UV = register_edge_type(EdgeType(
+    name="edge_project_xyz2uv",
+    tag="EDGE_PROJECT_XYZ2UV:EXPMAP",
+    vertex_types=("sba_point_xyz", "se3_expmap"),
+    error_dim=2,
+    measurement_dim=2,
+    error=_edge_xyz2uv_error,
+    param_types=("camera_parameters",),
+))
+
+
+def _edge_xyz2uvu_error(vparams, meas, pdata):
+    """EdgeProjectXYZ2UVU (stereo): obs - stereocam_uvu_map(T * p)
+    (types_six_dof_expmap.h:191-198, cpp:77-82)."""
+    point, t_w2c = vparams
+    (cam,) = pdata
+    pc = lie.se3_apply(t_w2c, point)
+    uv = cam_map(pc, cam[0], cam[1], cam[2])
+    u_right = (pc[0] - cam[3]) / pc[2] * cam[0] + cam[1]
+    return meas - jnp.stack([uv[0], uv[1], u_right])
+
+
+EDGE_PROJECT_XYZ2UVU = register_edge_type(EdgeType(
+    name="edge_project_xyz2uvu",
+    tag="EDGE_PROJECT_XYZ2UVU:EXPMAP",
+    vertex_types=("sba_point_xyz", "se3_expmap"),
+    error_dim=3,
+    measurement_dim=3,
+    error=_edge_xyz2uvu_error,
+    param_types=("camera_parameters",),
+))
+
+
+# ---------------------------------------------------------------------------
+# Edges — SBACam family
+# ---------------------------------------------------------------------------
+
+def _cam_w2i_project(cam_params, point):
+    """Project a world point through an SBACam: K [R^T | -R^T t]
+    (sbacam.h:120-159 + types_sba.h:176-181). Returns normalized pixel (u,v)."""
+    t, q = cam_params[:3], cam_params[3:7]
+    fx, fy, cx, cy = cam_params[7], cam_params[8], cam_params[9], cam_params[10]
+    pc = lie.quat_rotate(lie.quat_conj(q), point - t)   # R^T (p - t)
+    u = fx * pc[0] + cx * pc[2]
+    v = fy * pc[1] + cy * pc[2]
+    return jnp.stack([u / pc[2], v / pc[2]]), pc
+
+
+def _edge_p2mc_error(vparams, meas, pdata):
+    """EdgeProjectP2MC: (w2i * p).xy/z - obs (types_sba.h:170-192)."""
+    point, cam = vparams
+    uv, _ = _cam_w2i_project(cam, point)
+    return uv - meas
+
+
+EDGE_PROJECT_P2MC = register_edge_type(EdgeType(
+    name="edge_project_p2mc",
+    tag="EDGE_PROJECT_P2MC",
+    vertex_types=("sba_point_xyz", "cam"),
+    error_dim=2,
+    measurement_dim=2,
+    error=_edge_p2mc_error,
+))
+
+
+def _edge_p2sc_error(vparams, meas, pdata):
+    """EdgeProjectP2SC (stereo): left (u,v) + right u with baseline shift
+    (types_sba.h:209-240)."""
+    point, cam = vparams
+    uv, pc = _cam_w2i_project(cam, point)
+    fx, cx, baseline = cam[7], cam[9], cam[11]
+    u_right = (fx * (pc[0] - baseline) + cx * pc[2]) / pc[2]
+    return jnp.stack([uv[0], uv[1], u_right]) - meas
+
+
+EDGE_PROJECT_P2SC = register_edge_type(EdgeType(
+    name="edge_project_p2sc",
+    tag="EDGE_PROJECT_P2SC",
+    vertex_types=("sba_point_xyz", "cam"),
+    error_dim=3,
+    measurement_dim=3,
+    error=_edge_p2sc_error,
+))
+
+
+def _edge_sba_cam_error(vparams, meas, pdata):
+    """EdgeSBACam: relative pose between two SBA cams; measurement (t, q):
+    error = (Z^-1 * (C1^-1 * C2)) as MQT-style minimal vector
+    (types_sba.cpp:133-180 semantics via SE3Quat)."""
+    c1, c2 = vparams
+    p1 = c1[:7]
+    p2 = c2[:7]
+    d = lie.se3_compose(lie.se3_inverse(meas),
+                        lie.se3_compose(lie.se3_inverse(p1), p2))
+    return jnp.concatenate([d[:3], lie.quat_to_compact(d[3:7])])
+
+
+EDGE_SBA_CAM = register_edge_type(EdgeType(
+    name="edge_sba_cam",
+    tag="EDGE_CAM",
+    vertex_types=("cam", "cam"),
+    error_dim=6,
+    measurement_dim=7,
+    error=_edge_sba_cam_error,
+))
+
+
+def _edge_sba_scale_error(vparams, meas, pdata):
+    """EdgeSBAScale: distance between two cam centers vs measured scale
+    (types_sba.h:244-280)."""
+    c1, c2 = vparams
+    d = c1[:3] - c2[:3]
+    return jnp.stack([jnp.linalg.norm(d) - meas[0]])
+
+
+EDGE_SBA_SCALE = register_edge_type(EdgeType(
+    name="edge_sba_scale",
+    tag="EDGE_SCALE",
+    vertex_types=("cam", "cam"),
+    error_dim=1,
+    measurement_dim=1,
+    error=_edge_sba_scale_error,
+))

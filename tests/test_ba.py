@@ -1,0 +1,133 @@
+"""Bundle adjustment tests: sba types, Schur-complement LM engine vs the
+dense path, following the reference ba_demo methodology
+(examples/ba/ba_demo.cpp: synthetic scene, noisy observations, Schur on/off)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from openslam_g2o_tpu.core.graph import Graph
+from openslam_g2o_tpu.core import problem as P
+from openslam_g2o_tpu.core.algorithms import LevenbergMarquardt, optimize
+from openslam_g2o_tpu.core.ba import LevenbergMarquardtSchur, schur_build, schur_solve
+from openslam_g2o_tpu.ops import lie
+from openslam_g2o_tpu.utils import np_lie
+
+rng = np.random.default_rng(11)
+
+FOCAL, CX, CY = 500.0, 320.0, 240.0
+
+
+def make_ba_scene(n_cams=6, n_points=40, pixel_noise=0.5, seed=3):
+    """Cameras on an arc looking at a point cloud; observations with noise.
+    Mirrors ba_demo.cpp's synthetic setup."""
+    r = np.random.default_rng(seed)
+    g = Graph()
+    g.add_parameter(0, "camera_parameters", [FOCAL, CX, CY, 0.1])
+    gt_points = r.uniform(-2, 2, size=(n_points, 3)) + np.array([0, 0, 8.0])
+    cams_w2c = []
+    for i in range(n_cams):
+        # camera i at x = i*0.5, looking down +z
+        c2w_t = np.array([i * 0.5 - n_cams * 0.25, 0, 0])
+        c2w = np.concatenate([c2w_t, [0, 0, 0, 1]])
+        w2c = np_lie.se3_inverse(c2w)
+        cams_w2c.append(w2c)
+        # perturb all but the first two cameras (gauge + scale)
+        if i < 2:
+            g.add_vertex(i, "se3_expmap", w2c, fixed=(i == 0))
+        else:
+            pert = np.asarray(lie.se3_compose(
+                lie.se3_exp(jnp.asarray(r.normal(0, 0.05, 6))), jnp.asarray(w2c)))
+            g.add_vertex(i, "se3_expmap", pert)
+    n_obs = 0
+    for j, pt in enumerate(gt_points):
+        g.add_vertex(1000 + j, "sba_point_xyz",
+                     pt + r.normal(0, 0.3, 3), marginalized=True)
+        for i, w2c in enumerate(cams_w2c):
+            pc = np_lie.se3_apply(w2c, pt)
+            if pc[2] <= 0.1:
+                continue
+            uv = np.array([pc[0] / pc[2] * FOCAL + CX, pc[1] / pc[2] * FOCAL + CY])
+            uv += r.normal(0, pixel_noise, 2)
+            g.add_edge("edge_project_xyz2uv", (1000 + j, i), uv, np.eye(2),
+                       param_ids=[0])
+            n_obs += 1
+    assert n_obs > n_points * 2
+    return g, gt_points, cams_w2c
+
+
+class TestSbaTypes:
+    def test_projection_error_zero_at_gt(self):
+        g, gt_points, cams = make_ba_scene(pixel_noise=0.0)
+        # reset estimates to ground truth
+        for j, pt in enumerate(gt_points):
+            g.set_estimate(1000 + j, pt)
+        for i, w2c in enumerate(cams):
+            g.set_estimate(i, w2c)
+        prob = g.compile()
+        assert float(P.chi2(prob)) < 1e-12
+
+    def test_expmap_retract_is_left_multiply(self):
+        p = jnp.asarray(np_lie.se3_inverse(np.array([1., 2, 3, 0, 0, 0, 1])))
+        d = jnp.asarray([0.1, 0, 0, 0, 0.2, 0])
+        out = lie.se3_retract_expmap_left(p, d)
+        expect = lie.se3_compose(lie.se3_exp(d), p)
+        np.testing.assert_allclose(out, expect, atol=1e-12)
+
+    def test_marginalized_group_ordered_last(self):
+        g, _, _ = make_ba_scene()
+        prob = g.compile()
+        names = [vg.name for vg in prob.static.vgroups]
+        assert names[-1] == "sba_point_xyz"
+        assert prob.static.pose_dim == 6 * 6
+        assert prob.static.total_dim == 6 * 6 + 3 * 40
+
+
+class TestSchur:
+    def test_schur_step_matches_dense_solution(self):
+        """The Schur-reduced solve must reproduce the full dense solve."""
+        g, _, _ = make_ba_scene(n_cams=4, n_points=15)
+        prob = g.compile()
+        lam = jnp.asarray(1e-3, prob.dtype)
+        # dense reference
+        from openslam_g2o_tpu.core.problem import build_dense_system, tangent_masks
+        from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
+        H, b, _ = build_dense_system(prob)
+        free_t, _ = tangent_masks(prob)
+        dx_dense, ok1 = solve_dense_cholesky(H + lam * jnp.diag(free_t), b)
+        # schur
+        sys = schur_build(prob)
+        dx_schur, ok2, b_full, _ = schur_solve(prob, sys, lam, pcg_iters=500,
+                                               pcg_tol=1e-12)
+        assert bool(ok1) and bool(ok2)
+        np.testing.assert_allclose(np.asarray(b_full), np.asarray(b), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(dx_schur),
+                                   np.asarray(dx_dense * free_t), atol=1e-6)
+
+    def test_ba_converges_schur(self):
+        g, gt_points, _ = make_ba_scene()
+        prob = g.compile()
+        chi0 = float(P.chi2(prob))
+        out, stats = optimize(prob, LevenbergMarquardtSchur(), iterations=15)
+        # converges to the pixel-noise floor
+        assert stats[-1]["chi2"] < chi0 * 1e-3
+        # landmark estimates close to ground truth (depth uncertainty at
+        # 0.5 px noise dominates — triangulation bound, not solver error)
+        est = np.asarray(out.params["sba_point_xyz"])
+        assert np.abs(est - gt_points).max() < 0.25
+
+    def test_schur_matches_dense_lm_trajectory(self):
+        g, _, _ = make_ba_scene(n_cams=4, n_points=20)
+        prob = g.compile()
+        _, stats_d = optimize(prob, LevenbergMarquardt(), iterations=8)
+        _, stats_s = optimize(prob, LevenbergMarquardtSchur(), iterations=8)
+        # same algorithm, same damping semantics -> nearly identical chi2 path
+        for sd, ss in zip(stats_d, stats_s):
+            np.testing.assert_allclose(sd["chi2"], ss["chi2"],
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_noise_free_ba_reaches_zero(self):
+        g, _, _ = make_ba_scene(pixel_noise=0.0)
+        prob = g.compile()
+        out, stats = optimize(prob, LevenbergMarquardtSchur(), iterations=20)
+        assert stats[-1]["chi2"] < 1e-8
