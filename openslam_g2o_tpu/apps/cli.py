@@ -38,6 +38,10 @@ def build_parser():
                    help="width for the robust kernel")
     p.add_argument("-o", dest="output", default="",
                    help="output final version of the graph")
+    p.add_argument("-gnudump", default="",
+                   help="dump the graph in gnuplot edge format")
+    p.add_argument("-plot", default="",
+                   help="render the optimized graph to an image (PNG/SVG)")
     p.add_argument("-stats", default="", help="specify a file for the statistics")
     p.add_argument("-summary", default="",
                    help="append a summary of this optimization run to the summary file")
@@ -165,6 +169,10 @@ def main(argv=None):
     if use_schur:
         print("# Schur complement: marginalizing "
               f"{prob.static.marginalized_groups[0].name}", file=sys.stderr)
+    if hasattr(algorithm, "prepare"):
+        # e.g. 2dlinear runs its linear orientation init on the host graph
+        algorithm.prepare(graph)
+        prob = graph.compile(dtype=dtype)
     chi0 = float(P.chi2(prob))
     print(f"Initial chi2 = {chi0:.6f}", file=sys.stderr)
 
@@ -192,10 +200,19 @@ def main(argv=None):
                 "load_time": load_time,
                 "opt_time": sum(s["time"] for s in stats),
             }) + "\n")
-    if args.output:
+    if args.output or args.gnudump or args.plot:
         P.write_back(out, graph)
+    if args.output:
         save_g2o(graph, args.output)
         print(f"Saving {args.output}", file=sys.stderr)
+    if args.gnudump:
+        from openslam_g2o_tpu.apps.viewer import write_gnuplot
+        write_gnuplot(graph, args.gnudump)
+        print(f"Gnuplot dump written to {args.gnudump}", file=sys.stderr)
+    if args.plot:
+        from openslam_g2o_tpu.apps.viewer import plot_graph
+        plot_graph(graph, args.plot, title=args.input)
+        print(f"Plot written to {args.plot}", file=sys.stderr)
     return 0
 
 

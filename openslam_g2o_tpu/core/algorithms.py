@@ -424,9 +424,15 @@ class TerminateCriterion:
 
 
 def optimize(prob: Problem, algorithm=None, iterations: int = 10,
-             verbose: bool = False, terminate: Optional[TerminateCriterion] = None):
+             verbose: bool = False, terminate: Optional[TerminateCriterion] = None,
+             pre_iteration=None, post_iteration=None):
     """Run the outer iteration loop; the analogue of
     SparseOptimizer::optimize (sparse_optimizer.cpp:354-419).
+
+    pre_iteration/post_iteration: optional callbacks (iteration, state) — the
+    HyperGraphAction hook points (hyper_graph_action.h:49-205); a
+    post_iteration callback returning True requests a stop (how
+    SparseOptimizerTerminateAction signals the force-stop flag).
 
     Returns (optimized Problem, stats list — one dict per iteration, matching
     the reference's G2OBatchStatistics fields we can populate host-side).
@@ -437,6 +443,8 @@ def optimize(prob: Problem, algorithm=None, iterations: int = 10,
     prev_chi = None
     cum_time = 0.0
     for it in range(iterations):
+        if pre_iteration is not None:
+            pre_iteration(it, state)
         t0 = time.monotonic()
         state, info = algorithm.step(prob, state)
         jax.block_until_ready(state["params"])
@@ -444,6 +452,8 @@ def optimize(prob: Problem, algorithm=None, iterations: int = 10,
         cum_time += dt
         info.update({"iteration": it, "time": dt, "cum_time": cum_time})
         stats.append(info)
+        if post_iteration is not None and post_iteration(it, state):
+            break
         if verbose:
             extras = ""
             if "lambda" in info:

@@ -28,6 +28,8 @@ _NAME_RE = re.compile(
     r"^(?P<algo>gn|lm|dl)_(?P<blocks>var|fix\d+_\d+|\d+_\d+)"
     r"(?P<backend>_(dense|pcg|csparse|cholmod|eigen|schur))?(_scalar)?$")
 
+_SPECIAL = ("structure_only_2", "structure_only_3", "2dlinear")
+
 _ALGOS = {
     "gn": GaussNewton,
     "lm": LevenbergMarquardt,
@@ -42,6 +44,12 @@ class AlgorithmSpec:
         self.marginalize = marginalize
 
     def make(self, marginalize: bool = False, **props):
+        if self.algo_name == "structure_only":
+            from openslam_g2o_tpu.core.special_solvers import StructureOnly
+            return StructureOnly(**props)
+        if self.algo_name == "2dlinear":
+            from openslam_g2o_tpu.core.special_solvers import SolverSlam2DLinear
+            return SolverSlam2DLinear(**props)
         if (marginalize or self.marginalize) and self.algo_name == "lm":
             return LevenbergMarquardtSchur(**props)
         if self.backend == "pcg" and self.algo_name == "lm":
@@ -53,6 +61,10 @@ def construct_algorithm(name: str) -> AlgorithmSpec:
     """Resolve a g2o-style solver name. Unknown legacy backends (csparse,
     cholmod, eigen) map to the TPU dense solver — same semantics (exact
     factorization), different hardware-native implementation."""
+    if name in ("structure_only_2", "structure_only_3"):
+        return AlgorithmSpec("structure_only", "dense", False)
+    if name == "2dlinear":
+        return AlgorithmSpec("2dlinear", "dense", False)
     m = _NAME_RE.match(name)
     if m is None:
         raise ValueError(

@@ -145,9 +145,21 @@ class Problem:
 # Lowering from the host graph
 # ---------------------------------------------------------------------------
 
-def build_problem(graph, dtype=None, level: int = 0) -> Problem:
+def build_problem(graph, dtype=None, level: int = 0,
+                  pad_counts=None) -> Problem:
+    """Lower the host graph to a device Problem.
+
+    pad_counts: optional callable n -> padded_n applied to every vertex and
+    edge table size. Used by the online/incremental optimizer to keep array
+    shapes in a small set of buckets so jit caches hit as the graph grows
+    (the TPU answer to the reference's incremental CHOLMOD rank updates,
+    graph_optimizer_sparse_incremental.cpp:194-420 — recompilation amortizes
+    away, re-solves are warm-started). Padding vertices are fixed at the
+    origin; padding edges have zero information, so neither contributes.
+    """
     if dtype is None:
         dtype = jnp.zeros((), jnp.float64).dtype  # f64 if x64 enabled else f32
+    pad = pad_counts if pad_counts is not None else (lambda n: n)
 
     # --- vertex groups, in first-seen order; marginalizable (landmark)
     # groups are laid out last in the tangent vector, poses first, matching
@@ -158,7 +170,7 @@ def build_problem(graph, dtype=None, level: int = 0) -> Problem:
         order.setdefault(rec.vtype.name, []).append(rec)
     group_names = sorted(order, key=lambda n: order[n][0].vtype.marginalizable)
     order = {n: order[n] for n in group_names}
-    pose_dim = sum(len(recs) * recs[0].vtype.tangent_dim
+    pose_dim = sum(pad(len(recs)) * recs[0].vtype.tangent_dim
                    for recs in order.values()
                    if not recs[0].vtype.marginalizable)
     vgroups = []
@@ -169,12 +181,18 @@ def build_problem(graph, dtype=None, level: int = 0) -> Problem:
         vt = recs[0].vtype
         for i, rec in enumerate(recs):
             local_index[rec.vid] = (name, i)
-        params[name] = jnp.asarray(
-            np.stack([r.params for r in recs]).astype(np.float64), dtype=dtype)
-        free[name] = jnp.asarray(
-            np.array([0.0 if r.fixed else 1.0 for r in recs]), dtype=dtype)
-        vgroups.append(VGroup(name, vt, len(recs), offset))
-        offset += len(recs) * vt.tangent_dim
+        n_pad = pad(len(recs))
+        p = np.stack([r.params for r in recs]).astype(np.float64)
+        f = np.array([0.0 if r.fixed else 1.0 for r in recs])
+        if n_pad > len(recs):
+            origin = np.asarray(vt.origin(jnp.float64), dtype=np.float64)
+            p = np.concatenate(
+                [p, np.tile(origin, (n_pad - len(recs), 1))])
+            f = np.concatenate([f, np.zeros(n_pad - len(recs))])
+        params[name] = jnp.asarray(p, dtype=dtype)
+        free[name] = jnp.asarray(f, dtype=dtype)
+        vgroups.append(VGroup(name, vt, n_pad, offset))
+        offset += n_pad * vt.tangent_dim
 
     # --- edge groups keyed by (type, kernel)
     buckets: dict[tuple, list] = {}
@@ -189,22 +207,39 @@ def build_problem(graph, dtype=None, level: int = 0) -> Problem:
     for (tname, kid), recs in buckets.items():
         et = recs[0].etype
         key = tname if kid == robust.NONE_ID else f"{tname}#{robust.kernel_names()[kid]}"
+        n_pad = pad(len(recs))
+        extra = n_pad - len(recs)
         idx_cols = []
         for s in range(et.num_vertices):
-            col = np.empty(len(recs), dtype=np.int32)
+            col = np.zeros(n_pad, dtype=np.int32)
             for i, r in enumerate(recs):
                 gname, li = local_index[r.vertex_ids[s]]
                 col[i] = li
             idx_cols.append(jnp.asarray(col))
-        meas = jnp.asarray(np.stack([r.measurement for r in recs]), dtype=dtype)
-        info = jnp.asarray(np.stack([r.information for r in recs]), dtype=dtype)
-        delta = jnp.asarray(np.array([r.kernel_delta for r in recs]), dtype=dtype)
+
+        def padded(stack, fill=None):
+            # Padding rows repeat row 0 (a VALID measurement/parameter) so the
+            # error kernel stays finite on them — their information is zero,
+            # so they contribute nothing, but a zeros-row could produce
+            # NaN/inf (e.g. z=0 in a projection) that would poison the sums.
+            if extra == 0:
+                return stack
+            row = stack[:1] if fill is None else fill
+            return np.concatenate([stack, np.repeat(row, extra, axis=0)])
+
+        meas = np.stack([r.measurement for r in recs])
+        info = np.stack([r.information for r in recs])
+        meas = jnp.asarray(padded(meas), dtype=dtype)
+        info = jnp.asarray(padded(info, np.zeros((1, *info.shape[1:]))),
+                           dtype=dtype)
+        delta = np.array([r.kernel_delta for r in recs])
+        delta = jnp.asarray(np.concatenate([delta, np.ones(extra)]), dtype=dtype)
         pdata = []
         for ps in range(len(et.param_types)):
             vals = np.stack([graph.parameters[r.param_ids[ps]][1] for r in recs])
-            pdata.append(jnp.asarray(vals, dtype=dtype))
+            pdata.append(jnp.asarray(padded(vals), dtype=dtype))
         edges[key] = EdgeArrays(tuple(idx_cols), meas, info, delta, tuple(pdata))
-        egroups.append(EGroup(key, et, kid, len(recs)))
+        egroups.append(EGroup(key, et, kid, n_pad))
 
     static = ProblemStatic(tuple(vgroups), tuple(egroups), offset, pose_dim)
     return Problem(params, free, edges, static)

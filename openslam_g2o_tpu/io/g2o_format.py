@@ -55,6 +55,22 @@ def load_g2o(source: Union[str, TextIO], graph: Optional[Graph] = None,
     return loads_g2o(text, graph=graph, renamed_types=renamed_types)
 
 
+def _tokenize_python(text: str):
+    """Pure-Python fallback matching the native tokenizer's output shape."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        toks = line.split()
+        try:
+            vals = np.array([float(t) for t in toks[1:]])
+            out.append((toks[0], vals, None))
+        except ValueError:
+            out.append((toks[0], None, line))
+    return out
+
+
 def loads_g2o(text: str, graph: Optional[Graph] = None,
               renamed_types: Optional[dict] = None) -> Graph:
     graph = graph if graph is not None else Graph()
@@ -62,63 +78,79 @@ def loads_g2o(text: str, graph: Optional[Graph] = None,
     unknown_tags: dict[str, int] = {}
     fixed_ids: list[int] = []
 
+    from openslam_g2o_tpu import native
+    tokenized = native.tokenize(text)
+    if tokenized is None:
+        tokenized = _tokenize_python(text)
     lines = []
-    for raw in text.splitlines():
-        line = raw.strip()
-        if not line or line.startswith("#"):
-            continue
-        toks = line.split()
-        tag = renamed.get(toks[0], toks[0])
-        lines.append((tag, toks))
+    for tag, vals, raw in tokenized:
+        tag = renamed.get(tag, tag)
+        if vals is not None:
+            lines.append((tag, vals, None))
+        else:
+            lines.append((tag, None, raw.split()[1:]))
 
     # pre-pass: parameters (ParameterContainer::read, optimizable_graph.cpp:359)
-    for tag, toks in lines:
+    for tag, vals, raw in lines:
         pt = registry.parameter_type_by_tag(tag)
-        if pt is None:
+        if pt is None or vals is None:
             continue
-        pid = int(toks[1])
-        vals = np.array([float(t) for t in toks[2:2 + pt.io_dim]])
+        pid = int(vals[0])
+        pvals = vals[1:1 + pt.io_dim]
         if pt.from_file is not None:
-            vals = pt.from_file(vals)
-        graph.add_parameter(pid, pt.name, vals)
+            pvals = pt.from_file(pvals)
+        graph.add_parameter(pid, pt.name, pvals)
 
-    for tag, toks in lines:
+    from openslam_g2o_tpu.models.data import parse_data_line
+
+    last_vertex = None
+    for tag, vals, raw in lines:
         if registry.parameter_type_by_tag(tag) is not None:
             continue
-        if tag == "FIX":
-            fixed_ids.extend(int(t) for t in toks[1:])
+        if tag == "FIX" and vals is not None:
+            fixed_ids.extend(int(v) for v in vals)
             continue
 
         vt = registry.vertex_type_by_tag(tag)
-        if vt is not None:
-            vid = int(toks[1])
-            vals = np.array([float(t) for t in toks[2:2 + vt.io_dim]])
+        if vt is not None and vals is not None:
+            vid = int(vals[0])
+            v = vals[1:1 + vt.io_dim]
             if vt.from_file is not None:
-                vals = vt.from_file(vals)
-            graph.add_vertex(vid, vt.name, vals)
+                v = vt.from_file(v)
+            last_vertex = graph.add_vertex(vid, vt.name, v)
             continue
 
+        # data payload lines attach to the preceding vertex
+        # (optimizable_graph.cpp:541-565); they contain non-numeric tokens so
+        # they arrive through the raw fallback
+        if raw is not None:
+            payload = parse_data_line(tag, raw)
+            if payload is not None:
+                if last_vertex is not None:
+                    last_vertex.data.append(payload)
+                continue
+
         et = registry.edge_type_by_tag(tag)
-        if et is not None:
+        if et is not None and vals is not None:
             k = et.num_vertices
-            pos = 1
-            vids = [int(t) for t in toks[pos:pos + k]]
+            pos = 0
+            vids = [int(v) for v in vals[pos:pos + k]]
             pos += k
             nparams = len(et.param_types)
-            pids = [int(t) for t in toks[pos:pos + nparams]]
+            pids = [int(v) for v in vals[pos:pos + nparams]]
             pos += nparams
             md = et.io_meas_dim
-            meas = np.array([float(t) for t in toks[pos:pos + md]])
+            meas = vals[pos:pos + md]
             pos += md
             if et.from_file is not None:
                 meas = et.from_file(meas)
             d = et.error_dim
             ninfo = d * (d + 1) // 2
-            vals = [float(t) for t in toks[pos:pos + ninfo]]
-            if len(vals) != ninfo:
+            tri = vals[pos:pos + ninfo]
+            if len(tri) != ninfo:
                 raise ValueError(
-                    f"edge {tag}: expected {ninfo} information entries, got {len(vals)}")
-            info = _info_from_upper(vals, d)
+                    f"edge {tag}: expected {ninfo} information entries, got {len(tri)}")
+            info = _info_from_upper(tri, d)
             # auto-create missing endpoints at the origin
             for s, vid in enumerate(vids):
                 if vid not in graph.vertices:
@@ -156,12 +188,16 @@ def save_g2o(graph: Graph, dest: Union[str, TextIO, None] = None) -> Optional[st
         out_vals = pt.to_file(vals) if pt.to_file is not None else vals
         buf.write(f"{pt.tag} {pid} {fmtv(out_vals)}\n")
 
+    from openslam_g2o_tpu.models.data import format_data_line
+
     fixed = []
     for vid, rec in graph.vertices.items():
         vals = rec.params
         if rec.vtype.to_file is not None:
             vals = rec.vtype.to_file(vals)
         buf.write(f"{rec.vtype.tag} {vid} {fmtv(vals)}\n")
+        for payload in rec.data:
+            buf.write(format_data_line(payload) + "\n")
         if rec.fixed:
             fixed.append(vid)
     for vid in fixed:

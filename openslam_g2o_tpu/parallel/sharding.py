@@ -42,7 +42,8 @@ def make_mesh(devices=None, axis: str = "edges") -> Mesh:
 
 def _pad_edge_arrays(ea: EdgeArrays, target: int) -> EdgeArrays:
     """Pad an edge group to `target` edges with no-op edges: indices 0,
-    information = 0 (so H/b/chi2 contributions vanish identically)."""
+    information = 0 (so H/b/chi2 contributions vanish identically).
+    Measurements/params repeat row 0 so error kernels stay finite."""
     n = ea.measurement.shape[0]
     pad = target - n
     if pad == 0:
@@ -52,12 +53,15 @@ def _pad_edge_arrays(ea: EdgeArrays, target: int) -> EdgeArrays:
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths)
 
+    def pad_repeat(x):
+        return jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)])
+
     return EdgeArrays(
         indices=tuple(pad0(ix) for ix in ea.indices),
-        measurement=pad0(ea.measurement),
+        measurement=pad_repeat(ea.measurement),
         information=pad0(ea.information),   # zero info => zero weight
         delta=jnp.pad(ea.delta, (0, pad), constant_values=1.0),
-        pdata=tuple(pad0(p) for p in ea.pdata),
+        pdata=tuple(pad_repeat(p) for p in ea.pdata),
     )
 
 
