@@ -271,6 +271,120 @@ def create_sphere(n_laps: int = 50, n_per_lap: int = 50, radius: float = 100.0,
     return g, gt
 
 
+def synthetic_bal_problem(n_cams: int = 400, n_points: int = 50000,
+                          obs_per_point: int = 8, pixel_noise: float = 1.0,
+                          cam_noise: float = 0.02, point_noise: float = 0.1,
+                          focal: float = 800.0, seed: int = 0, dtype=None):
+    """BAL-style large bundle adjustment problem, built directly into device
+    arrays (examples/bal/bal_example.cpp workload shape: ring of cameras
+    looking inward at a point cloud, each point seen by its nearest cameras).
+
+    Construction bypasses per-record Graph bookkeeping — at venice scale
+    (~1e5 points, ~1e6 observations) the struct-of-arrays tables are built
+    with vectorized numpy in O(seconds). Returns (Problem, ground_truth dict).
+    """
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.core.graph import Graph
+    from openslam_g2o_tpu.core import problem as P
+    from openslam_g2o_tpu.core import registry, robust
+
+    rng = np.random.default_rng(seed)
+    R = 20.0
+    angles = 2 * np.pi * np.arange(n_cams) / n_cams
+    centers = np.stack([R * np.cos(angles), R * np.sin(angles),
+                        rng.uniform(-2, 2, n_cams)], axis=1)
+    pts_gt = rng.uniform(-8, 8, size=(n_points, 3))
+
+    # camera orientation: z-axis looks at the origin
+    def look_at_quat(c):
+        z = -c / np.linalg.norm(c)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+        x /= np.maximum(np.linalg.norm(x), 1e-9)
+        y = np.cross(z, x)
+        Rm = np.stack([x, y, z], axis=1)
+        t = np.trace(Rm)
+        if t > 0:
+            s = np.sqrt(t + 1) * 2
+            q = np.array([(Rm[2, 1] - Rm[1, 2]) / s, (Rm[0, 2] - Rm[2, 0]) / s,
+                          (Rm[1, 0] - Rm[0, 1]) / s, 0.25 * s])
+        else:
+            k = int(np.argmax(np.diag(Rm)))
+            i1, i2 = (k + 1) % 3, (k + 2) % 3
+            s = np.sqrt(Rm[k, k] - Rm[i1, i1] - Rm[i2, i2] + 1) * 2
+            q = np.zeros(4)
+            q[k] = 0.25 * s
+            q[i1] = (Rm[i1, k] + Rm[k, i1]) / s
+            q[i2] = (Rm[i2, k] + Rm[k, i2]) / s
+            q[3] = (Rm[i2, i1] - Rm[i1, i2]) / s
+        return q / np.linalg.norm(q)
+
+    c2w = np.zeros((n_cams, 7))
+    for i in range(n_cams):
+        c2w[i, :3] = centers[i]
+        c2w[i, 3:] = look_at_quat(centers[i])
+    w2c_gt = np.stack([np_lie.se3_inverse(c2w[i]) for i in range(n_cams)])
+
+    # observations: each point seen by its obs_per_point nearest cameras
+    d2 = ((pts_gt[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    nearest = np.argsort(d2, axis=1)[:, :obs_per_point]          # [P, m]
+    cam_idx = nearest.reshape(-1).astype(np.int32)
+    pt_idx = np.repeat(np.arange(n_points, dtype=np.int32), obs_per_point)
+
+    # project (vectorized)
+    t = w2c_gt[cam_idx, :3]
+    q = w2c_gt[cam_idx, 3:7]
+    u, w = q[:, :3], q[:, 3:4]
+    v = pts_gt[pt_idx]
+    uv_ = np.cross(u, v)
+    pc = v + 2.0 * (w * uv_ + np.cross(u, uv_)) + t
+    valid = pc[:, 2] > 1.0
+    cam_idx, pt_idx, pc = cam_idx[valid], pt_idx[valid], pc[valid]
+    obs = pc[:, :2] / pc[:, 2:3] * focal
+    obs += rng.normal(0, pixel_noise, obs.shape)
+    E = len(obs)
+
+    # noisy initialization (host-side small-angle perturbation: exp(xi) ~
+    # (upsilon, omega/2) quaternion for the noise magnitudes used here)
+    cam_init = w2c_gt.copy()
+    for i in range(1, n_cams):  # cam 0 fixed = gauge
+        om = rng.normal(0, cam_noise, 3)
+        ups = rng.normal(0, cam_noise, 3)
+        qn = np.concatenate([0.5 * om, [1.0]])
+        qn /= np.linalg.norm(qn)
+        cam_init[i] = np_lie.se3_compose(np.concatenate([ups, qn]), w2c_gt[i])
+    pts_init = pts_gt + rng.normal(0, point_noise, pts_gt.shape)
+
+    if dtype is None:
+        dtype = jnp.zeros((), jnp.float64).dtype
+    cam_vt = registry.vertex_type("se3_expmap")
+    pt_vt = registry.vertex_type("sba_point_xyz")
+    et = registry.edge_type("edge_project_xyz2uv")
+
+    free_cam = np.ones(n_cams)
+    free_cam[0] = 0.0
+    vg_cam = P.VGroup("se3_expmap", cam_vt, n_cams, 0)
+    vg_pt = P.VGroup("sba_point_xyz", pt_vt, n_points, n_cams * 6)
+    eg = P.EGroup(et.name, et, robust.NONE_ID, E)
+    static = P.ProblemStatic((vg_cam, vg_pt), (eg,),
+                             n_cams * 6 + n_points * 3, n_cams * 6)
+    cam_params = np.tile([focal, 0.0, 0.0, 0.0], (E, 1))
+    edges = {et.name: P.EdgeArrays(
+        (jnp.asarray(pt_idx), jnp.asarray(cam_idx)),
+        jnp.asarray(obs, dtype=dtype),
+        jnp.asarray(np.tile(np.eye(2), (E, 1, 1)), dtype=dtype),
+        jnp.ones((E,), dtype=dtype),
+        (jnp.asarray(cam_params, dtype=dtype),))}
+    prob = P.Problem(
+        params={"se3_expmap": jnp.asarray(cam_init, dtype=dtype),
+                "sba_point_xyz": jnp.asarray(pts_init, dtype=dtype)},
+        free={"se3_expmap": jnp.asarray(free_cam, dtype=dtype),
+              "sba_point_xyz": jnp.ones((n_points,), dtype=dtype)},
+        edges=edges, static=static)
+    gt = {"cams_w2c": w2c_gt, "points": pts_gt, "n_obs": E}
+    return prob, gt
+
+
 def main(argv=None):
     import argparse
     from openslam_g2o_tpu.io.g2o_format import save_g2o

@@ -97,15 +97,51 @@ def schur_build(problem: Problem, params: Optional[dict] = None,
 
         for s in lm_slots:
             li = ea.indices[s]
+            perm_lm = jnp.argsort(li)
+            li_sorted = li[perm_lm]
             js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
-            Hll = Hll.at[li].add(jnp.einsum("esb,ebt->est", js_w, jacs[s]))
-            b_l = b_l.at[li].add(-jnp.einsum("esb,eb->es", js_w, resid))
+            Hll = Hll + jax.ops.segment_sum(
+                jnp.einsum("esb,ebt->est", js_w, jacs[s])[perm_lm], li_sorted,
+                num_segments=L, indices_are_sorted=True)
+            b_l = b_l + jax.ops.segment_sum(
+                -jnp.einsum("esb,eb->es", js_w, resid)[perm_lm], li_sorted,
+                num_segments=L, indices_are_sorted=True)
             for t in pose_slots:
                 W = jnp.einsum("eas,eab,ebt->est", jacs[t], w_omega, jacs[s])
-                cross.append((W, idx[t], li))  # W: [E, Dp, dl]
+                g = slot_groups[t]
+                cam_local = (ea.indices[t]).astype(jnp.int32)
+                perm_cam = jnp.argsort(cam_local)
+                # W: [E, Dp, dl]; the two sorted orderings make every
+                # accumulation in the PCG hot loop a sorted segment_sum
+                # (gathers + contiguous reductions — no random scatters,
+                # which serialize on TPU)
+                cross.append({
+                    "W": W, "rows": idx[t], "li": li, "group": g,
+                    "cam_local": cam_local, "perm_cam": perm_cam,
+                    "cam_sorted": cam_local[perm_cam],
+                    "perm_lm": perm_lm, "li_sorted": li_sorted,
+                })
 
     return {"Hpp": Hpp, "b_p": b_p, "Hll": Hll, "b_l": b_l, "cross": cross,
             "L": L, "dl": dl, "Tp": Tp}
+
+
+def _accumulate_lm(entry, contrib, L):
+    """sum_e contrib_e into landmark bins (sorted segment_sum)."""
+    return jax.ops.segment_sum(contrib[entry["perm_lm"]], entry["li_sorted"],
+                               num_segments=L, indices_are_sorted=True)
+
+
+def _accumulate_pose(entry, contrib, y):
+    """sum_e contrib_e [E, Dp] into the pose vector y (sorted segment_sum
+    per camera, then one contiguous slice add)."""
+    g = entry["group"]
+    y_cam = jax.ops.segment_sum(contrib[entry["perm_cam"]],
+                                entry["cam_sorted"], num_segments=g.count,
+                                indices_are_sorted=True)
+    seg = jax.lax.dynamic_slice(y, (g.offset,), (g.count * g.tangent_dim,))
+    seg = seg + y_cam.reshape(-1)
+    return jax.lax.dynamic_update_slice(y, seg, (g.offset,))
 
 
 def _pose_masks(problem: Problem):
@@ -144,18 +180,22 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
     # reduced rhs: b_p - sum_e W_e (Hinv b_l)_{l(e)}
     hib = jnp.einsum("lst,lt->ls", Hinv, b_l)            # [L, dl]
     b_red = b_p
-    for W, rows, li in cross:
-        b_red = b_red.at[rows].add(-jnp.einsum("est,et->es", W, hib[li]))
+    for entry in cross:
+        contrib = -jnp.einsum("est,et->es", entry["W"], hib[entry["li"]])
+        b_red = _accumulate_pose(entry, contrib, b_red)
 
     def s_matvec(x):
-        """S x = Hpp_d x - W Hinv W^T x, all segment ops."""
+        """S x = Hpp_d x - W Hinv W^T x — gathers + sorted segment sums."""
         y = Hpp_d @ x
         u = jnp.zeros((L, dl), dtype=dt)
-        for W, rows, li in cross:
-            u = u.at[li].add(jnp.einsum("est,es->et", W, x[rows]))
+        for entry in cross:
+            u = u + _accumulate_lm(
+                entry, jnp.einsum("est,es->et", entry["W"], x[entry["rows"]]),
+                L)
         v = jnp.einsum("lst,lt->ls", Hinv, u)
-        for W, rows, li in cross:
-            y = y.at[rows].add(-jnp.einsum("est,et->es", W, v[li]))
+        for entry in cross:
+            contrib = -jnp.einsum("est,et->es", entry["W"], v[entry["li"]])
+            y = _accumulate_pose(entry, contrib, y)
         return y
 
     # block-Jacobi preconditioner on the pose groups: diagonal blocks of S
@@ -169,16 +209,14 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
         gidx = (g.offset + jnp.arange(g.count, dtype=jnp.int32)[:, None] * D
                 + jnp.arange(D, dtype=jnp.int32)[None, :])
         blocks = Hpp_d[gidx[:, :, None], gidx[:, None, :]]      # [N, D, D]
-        for W, rows, li in cross:
-            in_group = jnp.logical_and(rows[:, 0] >= g.offset,
-                                       rows[:, 0] < g.offset + g.count * D)
-            # local vertex index of each edge's pose slot within this group
-            vi = (rows[:, 0] - g.offset) // D
-            vi = jnp.where(in_group, vi, 0)
-            corr = jnp.einsum("est,etu,evu->esv", W, Hinv[li], W)
-            corr = corr * in_group[:, None, None]
-            if W.shape[1] == D:
-                blocks = blocks.at[vi].add(-corr)
+        for entry in cross:
+            if entry["group"].name != g.name or entry["W"].shape[1] != D:
+                continue
+            corr = -jnp.einsum("est,etu,evu->esv", entry["W"],
+                               Hinv[entry["li"]], entry["W"])
+            blocks = blocks + jax.ops.segment_sum(
+                corr[entry["perm_cam"]], entry["cam_sorted"],
+                num_segments=g.count, indices_are_sorted=True)
         precond_blocks.append((g, gidx, jnp.linalg.inv(blocks)))
 
     def precond(r):
@@ -196,8 +234,9 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
 
     # back-substitute landmarks: dx_l = Hinv (b_l - W^T dx_p)
     u = jnp.zeros((L, dl), dtype=dt)
-    for W, rows, li in cross:
-        u = u.at[li].add(jnp.einsum("est,es->et", W, dx_p[rows]))
+    for entry in cross:
+        u = u + _accumulate_lm(
+            entry, jnp.einsum("est,es->et", entry["W"], dx_p[entry["rows"]]), L)
     dx_l = jnp.einsum("lst,lt->ls", Hinv, b_l - u) * free_l[:, None]
 
     dx = jnp.concatenate([dx_p, dx_l.reshape(-1)])

@@ -18,6 +18,7 @@ import numpy as np
 __all__ = [
     "VertexType", "EdgeType", "ParameterType",
     "register_vertex_type", "register_edge_type", "register_parameter_type",
+    "register_tag_alias",
     "vertex_type", "edge_type", "parameter_type",
     "vertex_type_by_tag", "edge_type_by_tag", "parameter_type_by_tag",
     "registered_vertex_types", "registered_edge_types", "renamed_types_lookup",
@@ -140,6 +141,16 @@ def register_parameter_type(pt: ParameterType) -> ParameterType:
     _PARAMETER_TYPES[pt.name] = pt
     _PARAMETER_BY_TAG[pt.tag] = pt
     return pt
+
+
+def register_tag_alias(alias: str, existing_tag: str):
+    """Map an additional .g2o tag to an already-registered type (used for the
+    DEPRECATED_* legacy tags, types/deprecated/slam3d/types_slam3d.cpp)."""
+    for table in (_VERTEX_BY_TAG, _EDGE_BY_TAG, _PARAMETER_BY_TAG):
+        if existing_tag in table:
+            table[alias] = table[existing_tag]
+            return table[alias]
+    raise KeyError(f"no type registered under tag {existing_tag!r}")
 
 
 def vertex_type(name: str) -> VertexType:

@@ -160,6 +160,24 @@ EDGE_PRIOR_SE2_XY = register_edge_type(EdgeType(
 ))
 
 
+def _edge_se2_xy_calib_error(vparams, meas, pdata):
+    """EdgeSE2PointXYCalib: ((X * C)^-1 * l) - z with the calibration pose C
+    as a third vertex (edge_se2_pointxy_calib.h:46-52)."""
+    x, l, calib = vparams
+    sensor = lie.se2_compose(x, calib)
+    return lie.se2_apply(lie.se2_inverse(sensor), l) - meas
+
+
+EDGE_SE2_XY_CALIB = register_edge_type(EdgeType(
+    name="edge_se2_xy_calib",
+    tag="EDGE_SE2_XY_CALIB",
+    vertex_types=("se2", "point_xy", "se2"),
+    error_dim=2,
+    measurement_dim=2,
+    error=_edge_se2_xy_calib_error,
+))
+
+
 def _edge_se2_offset_error(vparams, meas, pdata):
     """EdgeSE2Offset: relative measurement between two sensor frames mounted
     on the poses with per-edge SE2 offset parameters

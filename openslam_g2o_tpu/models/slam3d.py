@@ -53,6 +53,19 @@ PARAMS_SE3_OFFSET = register_parameter_type(ParameterType(
     dim=7,                              # (t, q) of the sensor mount
 ))
 
+PARAMS_CAMERA_CALIB = register_parameter_type(ParameterType(
+    name="camera_calib",
+    tag="PARAMS_CAMERACALIB",
+    dim=11,                             # (t, q) offset + fx, fy, cx, cy
+    # ParameterCamera::read (parameter_camera.cpp:62-73)
+))
+
+PARAMS_STEREO_CAMERA_CALIB = register_parameter_type(ParameterType(
+    name="stereo_camera_calib",
+    tag="PARAMS_STEREOCAMERACALIB",
+    dim=12,                             # offset + fx, fy, cx, cy, baseline
+))
+
 
 def _edge_se3_error(vparams, meas, pdata):
     """EdgeSE3: toVectorMQT(Z^-1 * Xi^-1 * Xj) (edge_se3.cpp:48-53)."""
@@ -96,6 +109,57 @@ EDGE_SE3_XYZ = register_edge_type(EdgeType(
     measurement_dim=3,
     error=_edge_se3_xyz_error,
     param_types=("se3_offset",),
+))
+
+
+def _project_w2i(x, cam_param, pt):
+    """p = K (X * offset)^-1 pt (CacheCamera::w2i, parameter_camera.cpp:93-96).
+    cam_param = (t(3), q(4), fx, fy, cx, cy)."""
+    off, fx, fy, cx, cy = cam_param[:7], cam_param[7], cam_param[8], \
+        cam_param[9], cam_param[10]
+    pc = lie.se3_apply(lie.se3_inverse(lie.se3_compose(x, off)), pt)
+    return jnp.stack([fx * pc[0] + cx * pc[2],
+                      fy * pc[1] + cy * pc[2],
+                      pc[2]])
+
+
+def _edge_se3_depth_error(vparams, meas, pdata):
+    """EdgeSE3PointXYZDepth: (u, v, z) - meas
+    (edge_se3_pointxyz_depth.cpp:91-105)."""
+    x, pt = vparams
+    (cam,) = pdata
+    p = _project_w2i(x, cam, pt)
+    return jnp.stack([p[0] / p[2], p[1] / p[2], p[2]]) - meas
+
+
+EDGE_PROJECT_DEPTH = register_edge_type(EdgeType(
+    name="edge_se3_depth",
+    tag="EDGE_PROJECT_DEPTH",
+    vertex_types=("se3", "point_xyz"),
+    error_dim=3,
+    measurement_dim=3,
+    error=_edge_se3_depth_error,
+    param_types=("camera_calib",),
+))
+
+
+def _edge_se3_disparity_error(vparams, meas, pdata):
+    """EdgeSE3PointXYZDisparity: (u, v, 1/z) - meas
+    (edge_se3_pointxyz_disparity.cpp:96-121)."""
+    x, pt = vparams
+    (cam,) = pdata
+    p = _project_w2i(x, cam, pt)
+    return jnp.stack([p[0] / p[2], p[1] / p[2], 1.0 / p[2]]) - meas
+
+
+EDGE_PROJECT_DISPARITY = register_edge_type(EdgeType(
+    name="edge_se3_disparity",
+    tag="EDGE_PROJECT_DISPARITY",
+    vertex_types=("se3", "point_xyz"),
+    error_dim=3,
+    measurement_dim=3,
+    error=_edge_se3_disparity_error,
+    param_types=("camera_calib",),
 ))
 
 
