@@ -43,6 +43,8 @@ def build_parser():
     p.add_argument("-plot", default="",
                    help="render the optimized graph to an image (PNG/SVG)")
     p.add_argument("-stats", default="", help="specify a file for the statistics")
+    p.add_argument("-profile", action="store_true",
+                   help="print per-phase timings (G2OBatchStatistics analogue)")
     p.add_argument("-summary", default="",
                    help="append a summary of this optimization run to the summary file")
     p.add_argument("-gaugeId", type=int, default=-1, help="force the gauge")
@@ -175,6 +177,14 @@ def main(argv=None):
         prob = graph.compile(dtype=dtype)
     chi0 = float(P.chi2(prob))
     print(f"Initial chi2 = {chi0:.6f}", file=sys.stderr)
+
+    if args.profile:
+        from openslam_g2o_tpu.core.batch_stats import profile_iteration
+        solver_kind = ("schur" if use_schur
+                       else "pcg" if spec.backend == "pcg" else "dense")
+        prof = profile_iteration(prob, solver_kind)
+        for k, v in prof.items():
+            print(f"# profile {k} = {v}", file=sys.stderr)
 
     terminate = TerminateCriterion(gain_threshold=args.gainThreshold,
                                    max_iterations=args.maxIterationsWithGain)

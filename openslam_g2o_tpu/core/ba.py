@@ -34,7 +34,8 @@ from openslam_g2o_tpu.core.problem import (
     Problem, apply_update, linearize, robust_chi2, _slot_tangent_indices,
 )
 
-__all__ = ["schur_build", "schur_solve", "LevenbergMarquardtSchur"]
+__all__ = ["schur_build", "schur_solve", "build_schur_pattern",
+           "LevenbergMarquardtSchur"]
 
 
 def _landmark_group(problem: Problem):
@@ -46,8 +47,38 @@ def _landmark_group(problem: Problem):
     return mg[0]
 
 
+def build_schur_pattern(problem: Problem) -> dict:
+    """Host-side symbolic phase: the by-landmark and by-camera sort
+    permutations for every (edge group, landmark slot, pose slot) pair.
+    These depend only on topology (the analogue of buildStructure's
+    symbolic work, block_solver.hpp:143-295) — computing them once in numpy
+    keeps device sorts out of the compiled step."""
+    import numpy as np
+    lg = _landmark_group(problem)
+    out = {}
+    for eg in problem.static.egroups:
+        ea = problem.edges[eg.key]
+        slot_groups = [problem.static.vgroup(g) for g in eg.slots]
+        lm_slots = [s for s in range(len(slot_groups))
+                    if slot_groups[s].name == lg.name]
+        pose_slots = [s for s in range(len(slot_groups)) if s not in lm_slots]
+        for s in lm_slots:
+            li = np.asarray(ea.indices[s])
+            perm_lm = np.argsort(li, kind="stable").astype(np.int32)
+            for t in pose_slots:
+                ci = np.asarray(ea.indices[t])
+                perm_cam = np.argsort(ci, kind="stable").astype(np.int32)
+                out[(eg.key, s, t)] = {
+                    "perm_lm": jnp.asarray(perm_lm),
+                    "li_sorted": jnp.asarray(li[perm_lm].astype(np.int32)),
+                    "perm_cam": jnp.asarray(perm_cam),
+                    "cam_sorted": jnp.asarray(ci[perm_cam].astype(np.int32)),
+                }
+    return out
+
+
 def schur_build(problem: Problem, params: Optional[dict] = None,
-                lin: Optional[dict] = None):
+                lin: Optional[dict] = None, pattern: Optional[dict] = None):
     """Assemble {Hpp, b_p, Hll, b_l, per-edge W blocks}.
 
     Pose tangent dims: [0, Tp); landmark group occupies [Tp, T).
@@ -97,29 +128,39 @@ def schur_build(problem: Problem, params: Optional[dict] = None,
 
         for s in lm_slots:
             li = ea.indices[s]
-            perm_lm = jnp.argsort(li)
-            li_sorted = li[perm_lm]
+
+            def _perms_for(t):
+                key = (eg.key, s, t)
+                if pattern is not None and key in pattern:
+                    return pattern[key]
+                perm_lm = jnp.argsort(li)
+                p_ = {"perm_lm": perm_lm, "li_sorted": li[perm_lm]}
+                if t is not None:
+                    cam_local = ea.indices[t].astype(jnp.int32)
+                    perm_cam = jnp.argsort(cam_local)
+                    p_["perm_cam"] = perm_cam
+                    p_["cam_sorted"] = cam_local[perm_cam]
+                return p_
+
+            lm_perms = _perms_for(pose_slots[0] if pose_slots else None)
             js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
             Hll = Hll + jax.ops.segment_sum(
-                jnp.einsum("esb,ebt->est", js_w, jacs[s])[perm_lm], li_sorted,
-                num_segments=L, indices_are_sorted=True)
+                jnp.einsum("esb,ebt->est", js_w, jacs[s])[lm_perms["perm_lm"]],
+                lm_perms["li_sorted"], num_segments=L, indices_are_sorted=True)
             b_l = b_l + jax.ops.segment_sum(
-                -jnp.einsum("esb,eb->es", js_w, resid)[perm_lm], li_sorted,
-                num_segments=L, indices_are_sorted=True)
+                -jnp.einsum("esb,eb->es", js_w, resid)[lm_perms["perm_lm"]],
+                lm_perms["li_sorted"], num_segments=L, indices_are_sorted=True)
             for t in pose_slots:
+                p_ = _perms_for(t)
                 W = jnp.einsum("eas,eab,ebt->est", jacs[t], w_omega, jacs[s])
-                g = slot_groups[t]
-                cam_local = (ea.indices[t]).astype(jnp.int32)
-                perm_cam = jnp.argsort(cam_local)
                 # W: [E, Dp, dl]; the two sorted orderings make every
                 # accumulation in the PCG hot loop a sorted segment_sum
                 # (gathers + contiguous reductions — no random scatters,
                 # which serialize on TPU)
                 cross.append({
-                    "W": W, "rows": idx[t], "li": li, "group": g,
-                    "cam_local": cam_local, "perm_cam": perm_cam,
-                    "cam_sorted": cam_local[perm_cam],
-                    "perm_lm": perm_lm, "li_sorted": li_sorted,
+                    "W": W, "rows": idx[t], "li": li, "group": slot_groups[t],
+                    "perm_cam": p_["perm_cam"], "cam_sorted": p_["cam_sorted"],
+                    "perm_lm": p_["perm_lm"], "li_sorted": p_["li_sorted"],
                 })
 
     return {"Hpp": Hpp, "b_p": b_p, "Hll": Hll, "b_l": b_l, "cross": cross,
@@ -248,13 +289,14 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
 
 @partial(jax.jit, static_argnames=("max_trials", "pcg_iters"))
 def _lm_schur_step(prob: Problem, params: dict, lam, ni, chi_cur,
-                   max_trials: int = 10, pcg_iters: int = 250):
+                   pattern=None, max_trials: int = 10, pcg_iters: int = 250):
     """One LM iteration with Schur-complement landmark elimination.
     Trial-loop semantics identical to _lm_step (LM reference
-    optimization_algorithm_levenberg.cpp:95-142)."""
+    optimization_algorithm_levenberg.cpp:95-142). `pattern` carries the
+    host-precomputed sort permutations (build_schur_pattern)."""
     work = prob.with_params(params)
     lin = linearize(work)
-    sys = schur_build(work, lin=lin)
+    sys = schur_build(work, lin=lin, pattern=pattern)
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -287,9 +329,9 @@ def _lm_schur_step(prob: Problem, params: dict, lam, ni, chi_cur,
 
 
 @jax.jit
-def _schur_lambda_init(prob: Problem, params: dict, tau):
+def _schur_lambda_init(prob: Problem, params: dict, tau, pattern=None):
     work = prob.with_params(params)
-    sys = schur_build(work)
+    sys = schur_build(work, pattern=pattern)
     raw = jnp.concatenate([jnp.diagonal(sys["Hpp"]),
                            jnp.diagonal(sys["Hll"], axis1=1, axis2=2).reshape(-1)])
     return tau * jnp.max(jnp.abs(raw))
@@ -309,13 +351,22 @@ class LevenbergMarquardtSchur:
         self.max_trials = max_trials_after_failure
         self.tau = tau
         self.pcg_iters = pcg_iters
+        self._pattern = None
+        self._pattern_for = None
+
+    def pattern(self, prob: Problem):
+        if self._pattern_for is not prob.static:
+            self._pattern = build_schur_pattern(prob)
+            self._pattern_for = prob.static
+        return self._pattern
 
     def init(self, prob: Problem):
         if self.initial_lambda > 0:
             lam = jnp.asarray(self.initial_lambda, prob.dtype)
         else:
             lam = _schur_lambda_init(prob, prob.params,
-                                     jnp.asarray(self.tau, prob.dtype))
+                                     jnp.asarray(self.tau, prob.dtype),
+                                     pattern=self.pattern(prob))
         return {"params": prob.params, "lam": lam,
                 "ni": jnp.asarray(2.0, prob.dtype),
                 "chi2": robust_chi2(prob)}
@@ -323,6 +374,7 @@ class LevenbergMarquardtSchur:
     def step(self, prob: Problem, state: dict):
         params, lam, ni, chi, trials, accepted = _lm_schur_step(
             prob, state["params"], state["lam"], state["ni"], state["chi2"],
+            pattern=self.pattern(prob),
             max_trials=self.max_trials, pcg_iters=self.pcg_iters)
         new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
         info = {"chi2": float(chi), "lambda": float(lam),

@@ -1,0 +1,134 @@
+"""Per-phase performance statistics.
+
+The analogue of G2OBatchStatistics (g2o/core/batch_stats.h:40-84): chi2 plus
+wall-clock per optimization phase. The reference threads timers through the
+solver via a global pointer; in a jit-compiled world the production step is
+one fused program (phases are not separable without de-fusing), so this
+module provides an explicit *profiling mode* that runs each phase as its own
+jitted program with device synchronization between — same numbers, honest
+timings, used by the CLI's -stats and by perf work.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from openslam_g2o_tpu.core import problem as P
+
+__all__ = ["profile_iteration"]
+
+
+def _timed(fn, *args, repeats=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.monotonic()
+    for _ in range(repeats):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return out, (time.monotonic() - t0) / repeats
+
+
+def profile_iteration(problem: P.Problem, solver: str = "dense",
+                      lam: float = 1e-5, pcg_iters: int = 100,
+                      repeats: int = 3) -> dict:
+    """Time one LM-style iteration phase by phase (compile excluded).
+
+    Returns a dict with the G2OBatchStatistics-style fields:
+    time_residuals, time_linearize (both inside time_quadratic_form for the
+    fused linearize), time_quadratic_form, time_schur_complement,
+    time_linear_solution, time_update, chi2, hessian_dims, and the iteration
+    total.
+    """
+    stats: dict = {"solver": solver}
+    dt = problem.dtype
+
+    errors_fn = jax.jit(lambda p: P.compute_errors(problem, p))
+    _, stats["time_residuals"] = _timed(errors_fn, problem.params,
+                                        repeats=repeats)
+
+    chi_fn = jax.jit(lambda p: P.robust_chi2(problem, p))
+    chi, t_chi = _timed(chi_fn, problem.params, repeats=repeats)
+    stats["chi2"] = float(chi)
+    stats["time_chi2"] = t_chi
+
+    lin_fn = jax.jit(lambda p: P.linearize(problem, p))
+    lin, stats["time_linearize"] = _timed(lin_fn, problem.params,
+                                          repeats=repeats)
+
+    lam_arr = jnp.asarray(lam, dt)
+    if solver == "dense":
+        asm_fn = jax.jit(lambda l: P.build_dense_system(problem, lin=l))
+        (H, b, _), stats["time_quadratic_form"] = _timed(asm_fn, lin,
+                                                         repeats=repeats)
+        from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
+        free_t, _ = P.tangent_masks(problem)
+        solve_fn = jax.jit(
+            lambda H, b: solve_dense_cholesky(H + lam_arr * jnp.diag(free_t), b))
+        (dx, ok), stats["time_linear_solution"] = _timed(solve_fn, H, b,
+                                                         repeats=repeats)
+        upd_fn = jax.jit(lambda d: P.apply_update(problem, d))
+    elif solver == "pcg":
+        from openslam_g2o_tpu.core.sparse import (
+            build_ell_pattern, assemble_ell, ell_matvec)
+        from openslam_g2o_tpu.core.problem import (
+            block_jacobi_preconditioner, apply_update_parts)
+        from openslam_g2o_tpu.core.solvers import pcg_solve
+        pattern = build_ell_pattern(problem)
+        asm_fn = jax.jit(lambda l: assemble_ell(problem, pattern, l))
+        (values, b), stats["time_quadratic_form"] = _timed(asm_fn, lin,
+                                                           repeats=repeats)
+
+        def solve(values, b):
+            diag = pattern.diag_blocks(problem, values)
+            free = {g.name: problem.free[g.name][:, None]
+                    for g in problem.static.vgroups}
+            extra = {k: lam_arr * f + (1.0 - f) for k, f in free.items()}
+            mv = lambda x: ell_matvec(problem, pattern, values, x,
+                                      extra_diag=extra)
+            pre = block_jacobi_preconditioner(problem, diag, lam_arr)
+            return pcg_solve(mv, b, precond=pre, max_iter=pcg_iters)
+
+        solve_fn = jax.jit(solve)
+        (dx, ok), stats["time_linear_solution"] = _timed(solve_fn, values, b,
+                                                         repeats=repeats)
+        upd_fn = jax.jit(lambda d: apply_update_parts(problem, d))
+    elif solver == "schur":
+        from openslam_g2o_tpu.core.ba import (
+            build_schur_pattern, schur_build, schur_solve)
+        pattern = build_schur_pattern(problem)
+
+        # schur_build's output carries static group records (not jit
+        # outputs), so time build-only via its array parts, and the solve as
+        # (build+solve) - build
+        def asm_arrays(l):
+            sys = schur_build(problem, lin=l, pattern=pattern)
+            return (sys["Hpp"], sys["b_p"], sys["Hll"], sys["b_l"],
+                    tuple(e["W"] for e in sys["cross"]))
+
+        _, t_build = _timed(jax.jit(asm_arrays), lin, repeats=repeats)
+        stats["time_schur_complement"] = t_build
+        stats["time_quadratic_form"] = t_build
+
+        def build_and_solve(l):
+            sys = schur_build(problem, lin=l, pattern=pattern)
+            dx, ok, _, _ = schur_solve(problem, sys, lam_arr,
+                                       pcg_iters=pcg_iters)
+            return dx, ok
+
+        (dx, ok), t_full = _timed(jax.jit(build_and_solve), lin,
+                                  repeats=repeats)
+        stats["time_linear_solution"] = max(t_full - t_build, 0.0)
+        upd_fn = jax.jit(lambda d: P.apply_update(problem, d))
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
+
+    new_params, stats["time_update"] = _timed(upd_fn, dx, repeats=repeats)
+    stats["hessian_dims"] = problem.static.total_dim
+    stats["hessian_pose_dims"] = problem.static.pose_dim
+    stats["iteration_total"] = sum(
+        v for k, v in stats.items()
+        if k.startswith("time_") and k != "time_chi2")
+    return stats

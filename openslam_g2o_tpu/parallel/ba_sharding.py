@@ -162,10 +162,40 @@ def partition_ba_problem(problem: Problem, n_dev: int):
         problem.static, vgroups=tuple(new_vgroups), egroups=new_egroups,
         total_dim=problem.static.pose_dim + L_per * lg.tangent_dim)
 
+    # host-precomputed per-shard sort permutations (flat over the device
+    # axis, like the edge arrays) — keeps argsort out of the SPMD program
+    lg_name = lg.name
+    perms = {}
+    for eg in problem.static.egroups:
+        slot_groups = [problem.static.vgroup(g) for g in eg.slots]
+        lm_slots = [s for s in range(len(slot_groups))
+                    if slot_groups[s].name == lg_name]
+        if not lm_slots:
+            continue
+        (sl,) = lm_slots
+        ea2 = new_edges[eg.key]
+        E_per = ea2.measurement.shape[0] // n_dev
+        li_flat = np.asarray(ea2.indices[sl]).reshape(n_dev, E_per)
+        for t in range(len(slot_groups)):
+            if t == sl:
+                continue
+            ci_flat = np.asarray(ea2.indices[t]).reshape(n_dev, E_per)
+            perm_lm = np.argsort(li_flat, axis=1, kind="stable").astype(np.int32)
+            perm_cam = np.argsort(ci_flat, axis=1, kind="stable").astype(np.int32)
+            li_sorted = np.take_along_axis(li_flat, perm_lm, axis=1)
+            cam_sorted = np.take_along_axis(ci_flat, perm_cam, axis=1)
+            perms[(eg.key, sl, t)] = {
+                "perm_lm": jnp.asarray(perm_lm.reshape(-1)),
+                "li_sorted": jnp.asarray(li_sorted.reshape(-1).astype(np.int32)),
+                "perm_cam": jnp.asarray(perm_cam.reshape(-1)),
+                "cam_sorted": jnp.asarray(cam_sorted.reshape(-1).astype(np.int32)),
+            }
+
     shard_data = {
         "lm_params": jnp.asarray(lm_params),
         "lm_free": jnp.asarray(lm_free),
         "edges": new_edges,
+        "perms": perms,
     }
     return local_static, shard_data, L_per
 
@@ -186,9 +216,10 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
     pose_free = {g.name: problem.free[g.name] for g in pose_groups}
 
     edge_specs = jax.tree_util.tree_map(lambda _: P(axis), shard["edges"])
+    perm_specs = jax.tree_util.tree_map(lambda _: P(axis), shard["perms"])
 
-    def body(edges_local, lm_params_local, lm_free_local, pose_params,
-             lam, ni, chi_cur):
+    def body(edges_local, perms_local, lm_params_local, lm_free_local,
+             pose_params, lam, ni, chi_cur):
         # local sub-problem with shard-local landmark table
         params = dict(pose_params)
         params[lg.name] = lm_params_local
@@ -199,7 +230,7 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
         lin = linearize(local_prob)
         from openslam_g2o_tpu.core.ba import (
             schur_build, _accumulate_lm, _accumulate_pose)
-        sys = schur_build(local_prob, lin=lin)
+        sys = schur_build(local_prob, lin=lin, pattern=perms_local)
         Hpp = jax.lax.psum(sys["Hpp"], axis)
         b_p = jax.lax.psum(sys["b_p"], axis)
         Hll, b_l, cross = sys["Hll"], sys["b_l"], sys["cross"]
@@ -304,7 +335,8 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
     pose_spec = {g.name: P() for g in pose_groups}
     step = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(edge_specs, P(axis), P(axis), pose_spec, P(), P(), P()),
+        in_specs=(edge_specs, perm_specs, P(axis), P(axis), pose_spec,
+                  P(), P(), P()),
         out_specs=(pose_spec, P(axis), P(), P(), P(), P(), P())))
 
     # device placement
@@ -313,6 +345,9 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
     edges_dev = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(
             mesh, P(axis, *([None] * (x.ndim - 1))))), shard["edges"])
+    perms_dev = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(axis))),
+        shard["perms"])
     lm_params0 = jax.device_put(
         shard["lm_params"].reshape(-1, shard["lm_params"].shape[-1]),
         NamedSharding(mesh, P(axis, None)))
@@ -322,7 +357,8 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
                     for g in pose_groups}
 
     def run_step(pose_params, lm_params, lam, ni, chi):
-        return step(edges_dev, lm_params, lm_free0, pose_params, lam, ni, chi)
+        return step(edges_dev, perms_dev, lm_params, lm_free0, pose_params,
+                    lam, ni, chi)
 
     state0 = {
         "pose_params": pose_params0,
