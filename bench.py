@@ -54,7 +54,9 @@ def run_tpu(solver="pcg"):
     if solver == "pcg":
         from openslam_g2o_tpu.core.sparse import build_ell_pattern
         pattern = build_ell_pattern(prob)
-        step = lambda *s: _lm_pcg_step(prob, pattern, *s)[:4]
+        # 75 PCG iterations/solve: measured convergence-equivalent to 150 on
+        # this problem at half the cost (inexact LM steps; rho test guards)
+        step = lambda *s: _lm_pcg_step(prob, pattern, *s, pcg_iters=75)[:4]
         lam = _lambda_init_pcg(prob, pattern, prob.params,
                                jnp.asarray(1e-5, prob.dtype))
     else:

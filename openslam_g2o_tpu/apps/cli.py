@@ -28,6 +28,10 @@ def build_parser():
                    help="verbose output of the optimization process")
     p.add_argument("-guess", action="store_true",
                    help="initial guess based on spanning tree")
+    p.add_argument("-incremental", action="store_true",
+                   help="process the graph incrementally (online re-solves)")
+    p.add_argument("-update", type=int, default=10,
+                   help="incremental mode: solve every n vertices (default 10)")
     p.add_argument("-solver", default="lm_var",
                    help="specify which solver to use (default lm_var)")
     p.add_argument("-solverProperties", default="",
@@ -149,6 +153,43 @@ def main(argv=None):
     if args.guess:
         n = spanning_tree_initial_guess(graph)
         print(f"# initial guess: initialized {n} vertices", file=sys.stderr)
+
+    if args.incremental:
+        # replay the graph through the online optimizer, solving every
+        # -update vertices (the batch path of g2o.cpp:350-532)
+        from openslam_g2o_tpu.core.online import OnlineOptimizer
+        args.update = max(1, args.update)
+        t_inc = time.monotonic()
+        oo = OnlineOptimizer(dtype=jnp.float32 if args.f32 else jnp.float64)
+        n_since = 0
+        order = list(graph.vertices.values())
+        vrank = {vid: i for i, vid in enumerate(graph.vertices)}
+        edges_by_vertex: dict = {}
+        for ei, e in enumerate(graph.edges):
+            last = max(e.vertex_ids, key=lambda v: vrank[v])
+            edges_by_vertex.setdefault(last, []).append(ei)
+        for rec in order:
+            oo.add_vertex(rec.vid, rec.vtype.name, rec.params)
+            if rec.fixed:
+                oo.fix(rec.vid)
+            for ei in edges_by_vertex.get(rec.vid, []):
+                e = graph.edges[ei]
+                if all(v in oo.graph.vertices for v in e.vertex_ids):
+                    oo.add_edge(e.etype.name, e.vertex_ids, e.measurement,
+                                e.information, param_ids=e.param_ids)
+            n_since += 1
+            if n_since >= args.update:
+                oo.solve()
+                n_since = 0
+        stats = oo.solve(iterations=args.max_iterations)
+        print(f"# incremental done in {time.monotonic() - t_inc:.2f} s; "
+              f"final chi2 = {stats[-1]['chi2']:.6f}", file=sys.stderr)
+        for vid, rec in graph.vertices.items():
+            rec.params = oo.graph.vertices[vid].params
+        if args.output:
+            save_g2o(graph, args.output)
+            print(f"Saving {args.output}", file=sys.stderr)
+        return 0
 
     spec = construct_algorithm(args.solver)
     props = {}
