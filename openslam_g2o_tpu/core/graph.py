@@ -60,7 +60,7 @@ class Graph:
         if vid in self.vertices:
             raise ValueError(f"vertex id {vid} already in graph")
         vt = registry.vertex_type(type_name)
-        params = np.asarray(params, dtype=np.float64).reshape(vt.ambient_dim)
+        params = np.array(params, dtype=np.float64).reshape(vt.ambient_dim)
         self.vertices[vid] = VertexRecord(vid, vt, params, fixed, marginalized)
         return self.vertices[vid]
 
@@ -80,8 +80,10 @@ class Graph:
             if got != want:
                 raise ValueError(
                     f"edge {type_name} slot {s} expects vertex type {want!r}, got {got!r}")
-        measurement = np.asarray(measurement, dtype=np.float64).reshape(et.measurement_dim)
-        information = np.asarray(information, dtype=np.float64).reshape(
+        # copy: callers often pass one shared info array for many edges
+        measurement = np.array(measurement, dtype=np.float64).reshape(
+            et.measurement_dim)
+        information = np.array(information, dtype=np.float64).reshape(
             et.error_dim, et.error_dim)
         rec = EdgeRecord(et, vertex_ids, measurement, information,
                          kernel, float(kernel_delta), tuple(param_ids), level)
@@ -147,6 +149,67 @@ class Graph:
             if v.vtype.tangent_dim == max_dim and degree[vid] > best_deg:
                 best, best_deg = vid, degree[vid]
         return best
+
+    def verify_information_matrices(self, verbose: bool = False):
+        """Check every edge's information matrix is symmetric positive
+        semi-definite (OptimizableGraph::verifyInformationMatrices,
+        optimizable_graph.h:652). Returns (ok, list of offending edge
+        indices)."""
+        bad = []
+        for i, e in enumerate(self.edges):
+            info = e.information
+            if not np.allclose(info, info.T, atol=1e-9):
+                bad.append(i)
+                if verbose:
+                    print(f"edge {i} ({e.etype.name}): information not "
+                          f"symmetric")
+                continue
+            w = np.linalg.eigvalsh(0.5 * (info + info.T))
+            if w.min() < -1e-9:
+                bad.append(i)
+                if verbose:
+                    print(f"edge {i} ({e.etype.name}): information not PSD "
+                          f"(min eig {w.min():.3e})")
+        return len(bad) == 0, bad
+
+    def subset(self, vertex_ids) -> "Graph":
+        """Subgraph induced by `vertex_ids`: those vertices plus every edge
+        whose endpoints are all included (saveSubset semantics,
+        optimizable_graph.h:604-607)."""
+        keep = set(int(v) for v in vertex_ids)
+        out = Graph()
+        out.parameters = dict(self.parameters)
+        for vid in self.vertices:
+            if vid in keep:
+                rec = self.vertices[vid]
+                v = out.add_vertex(vid, rec.vtype.name, rec.params.copy(),
+                                   fixed=rec.fixed,
+                                   marginalized=rec.marginalized)
+                v.data = list(rec.data)
+        for e in self.edges:
+            if all(v in keep for v in e.vertex_ids):
+                out.add_edge(e.etype.name, e.vertex_ids,
+                             e.measurement.copy(), e.information.copy(),
+                             kernel=e.kernel, kernel_delta=e.kernel_delta,
+                             param_ids=e.param_ids, level=e.level)
+        return out
+
+    def add_graph(self, other: "Graph"):
+        """Merge another graph's vertices/edges (OptimizableGraph::addGraph);
+        ids must not collide except for shared parameters."""
+        for pid, (pt, vals) in other.parameters.items():
+            if pid not in self.parameters:
+                self.parameters[pid] = (pt, vals)
+        for vid, rec in other.vertices.items():
+            v = self.add_vertex(vid, rec.vtype.name, rec.params.copy(),
+                                fixed=rec.fixed, marginalized=rec.marginalized)
+            v.data = list(rec.data)
+        for e in other.edges:
+            self.add_edge(e.etype.name, e.vertex_ids, e.measurement.copy(),
+                          e.information.copy(), kernel=e.kernel,
+                          kernel_delta=e.kernel_delta, param_ids=e.param_ids,
+                          level=e.level)
+        return self
 
     # -- lowering ---------------------------------------------------------
 
