@@ -33,6 +33,7 @@ from openslam_g2o_tpu.core import registry
 from openslam_g2o_tpu.core.problem import (
     Problem, apply_update, linearize, robust_chi2, _slot_tangent_indices,
 )
+from openslam_g2o_tpu.core.solvers import batched_small_inv, pcg_solve
 
 __all__ = ["schur_build", "schur_solve", "build_schur_pattern",
            "LevenbergMarquardtSchur"]
@@ -214,7 +215,7 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
 
     # damped landmark blocks; fixed landmarks get identity (their b is 0)
     Hll_d = Hll + (lam * free_l + (1.0 - free_l))[:, None, None] * eye
-    Hinv = jnp.linalg.inv(Hll_d)
+    Hinv = batched_small_inv(Hll_d)
 
     Hpp_d = Hpp + jnp.diag(lam * free_p + fixed_p)
 
@@ -258,7 +259,7 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
             blocks = blocks + jax.ops.segment_sum(
                 corr[entry["perm_cam"]], entry["cam_sorted"],
                 num_segments=g.count, indices_are_sorted=True)
-        precond_blocks.append((g, gidx, jnp.linalg.inv(blocks)))
+        precond_blocks.append((g, gidx, batched_small_inv(blocks)))
 
     def precond(r):
         out = jnp.zeros_like(r)
@@ -268,7 +269,6 @@ def schur_solve(problem: Problem, sys, lam, pcg_iters: int = 250,
         return out
 
     # PCG on the reduced system
-    from openslam_g2o_tpu.core.solvers import pcg_solve
     dx_p, ok = pcg_solve(s_matvec, b_red, precond=precond,
                          max_iter=pcg_iters, tol=pcg_tol)
     dx_p = dx_p * free_p

@@ -33,7 +33,7 @@ from openslam_g2o_tpu.core import robust as robust_mod
 from openslam_g2o_tpu.core.problem import (
     Problem, apply_update, linearize, robust_chi2, _slot_tangent_indices,
     tangent_masks)
-from openslam_g2o_tpu.core.solvers import pcg_solve
+from openslam_g2o_tpu.core.solvers import batched_small_inv, pcg_solve
 
 __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
            "LevenbergMarquardtSchurELL"]
@@ -41,7 +41,7 @@ __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lm_edge_idx", "lm_mask", "cam_edge_idx", "cam_mask",
-                      "li", "ci"],
+                      "li", "ci", "lm_cam", "cam_lm"],
          meta_fields=["egkey", "lm_slot", "cam_slot", "cam_group", "lm_group"])
 @dataclasses.dataclass
 class ProjGroupPattern:
@@ -52,6 +52,8 @@ class ProjGroupPattern:
     cam_mask: jnp.ndarray       # [C, K_c]
     li: jnp.ndarray             # [E] landmark index per edge
     ci: jnp.ndarray             # [E] camera index per edge
+    lm_cam: jnp.ndarray         # [L, K_l] camera of each landmark slot
+    cam_lm: jnp.ndarray         # [C, K_c] landmark of each camera slot
     egkey: str
     lm_slot: int
     cam_slot: int
@@ -118,6 +120,8 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
             jnp.asarray(lm_tbl), jnp.asarray(lm_mask, dtype=dt),
             jnp.asarray(cam_tbl), jnp.asarray(cam_mask, dtype=dt),
             jnp.asarray(li.astype(np.int32)), jnp.asarray(ci.astype(np.int32)),
+            jnp.asarray(ci[lm_tbl].astype(np.int32)),
+            jnp.asarray(li[cam_tbl].astype(np.int32)),
             eg.key, sl, sc, slot_groups[sc].name, lg.name))
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
@@ -167,7 +171,11 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
             "b": jnp.zeros((cg.count, cg.tangent_dim), dt)})
         slot["Hcc"] = slot["Hcc"] + _cam_reduce(pg, Hcc_e)
         slot["b"] = slot["b"] + _cam_reduce(pg, bp_e)
-        proj_data.append({"pg": pg, "W": W})
+        # pre-gather W into BOTH ELL layouts (one-time per linearization)
+        # so PCG matvecs gather only from the small x_c / v tables
+        W_lm = W[pg.lm_edge_idx] * pg.lm_mask[:, :, None, None]
+        W_cam = W[pg.cam_edge_idx] * pg.cam_mask[:, :, None, None]
+        proj_data.append({"pg": pg, "W": W, "W_lm": W_lm, "W_cam": W_cam})
 
     # pose-only edges -> small dense extra over the pose tangent block
     Hpp_extra = jnp.zeros((Tp, Tp), dtype=dt)
@@ -210,7 +218,7 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     free_l = problem.free[lg.name]
     eye_l = jnp.eye(dl, dtype=dt)
     Hll_d = Hll + (lam * free_l + (1.0 - free_l))[:, None, None] * eye_l
-    Hinv = jnp.linalg.inv(Hll_d)
+    Hinv = batched_small_inv(Hll_d)
 
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
@@ -247,14 +255,16 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     b_red = {g.name: sys["groups"].get(g.name, {"b": jnp.zeros(
         (g.count, g.tangent_dim), dt)})["b"] for g in pose_groups}
     for pd in sys["proj"]:
-        pg, W = pd["pg"], pd["W"]
-        contrib = -jnp.einsum("est,et->es", W, hib[pg.li])
-        b_red[pg.cam_group] = b_red[pg.cam_group] + _cam_reduce(pg, contrib)
+        pg, W_cam = pd["pg"], pd["W_cam"]
+        b_red[pg.cam_group] = b_red[pg.cam_group] - jnp.einsum(
+            "ckst,ckt->cs", W_cam, hib[pg.cam_lm])
     if has_extra:
         extra = flat_to_parts(sys["b_extra"])
         b_red = {k: b_red[k] + extra[k] for k in b_red}
 
     def s_matvec(x_parts):
+        """Gathers only from the small x_c [C, Dp] / v [L, dl] tables; the
+        heavy W tensors are read sequentially by the einsums."""
         y = {g.name: jnp.einsum("nst,nt->ns", Hcc_d[g.name], x_parts[g.name])
              for g in pose_groups}
         if has_extra:
@@ -263,23 +273,25 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             y = {k: y[k] + extra[k] for k in y}
         u = jnp.zeros((L, dl), dtype=dt)
         for pd in sys["proj"]:
-            pg, W = pd["pg"], pd["W"]
-            xc = x_parts[pg.cam_group][pg.ci]            # [E, Dp] gather
-            u = u + _lm_reduce(pg, jnp.einsum("est,es->et", W, xc))
+            pg, W_lm = pd["pg"], pd["W_lm"]
+            xg = x_parts[pg.cam_group][pg.lm_cam]        # [L, K_l, Dp]
+            u = u + jnp.einsum("lkst,lks->lt", W_lm, xg)
         v = jnp.einsum("lst,lt->ls", Hinv, u)
         for pd in sys["proj"]:
-            pg, W = pd["pg"], pd["W"]
-            contrib = -jnp.einsum("est,et->es", W, v[pg.li])
-            y[pg.cam_group] = y[pg.cam_group] + _cam_reduce(pg, contrib)
+            pg, W_cam = pd["pg"], pd["W_cam"]
+            vg = v[pg.cam_lm]                            # [C, K_c, dl]
+            y[pg.cam_group] = y[pg.cam_group] - jnp.einsum(
+                "ckst,ckt->cs", W_cam, vg)
         return y
 
     # block-Jacobi preconditioner on diag(S)
     s_blocks = dict(Hcc_d)
     for pd in sys["proj"]:
-        pg, W = pd["pg"], pd["W"]
-        corr = -jnp.einsum("est,etu,evu->esv", W, Hinv[pg.li], W)
-        s_blocks[pg.cam_group] = s_blocks[pg.cam_group] + _cam_reduce(pg, corr)
-    s_binv = {k: jnp.linalg.inv(v) for k, v in s_blocks.items()}
+        pg, W_cam = pd["pg"], pd["W_cam"]
+        corr = -jnp.einsum("ckst,cktu,ckvu->csv", W_cam, Hinv[pg.cam_lm],
+                           W_cam)
+        s_blocks[pg.cam_group] = s_blocks[pg.cam_group] + corr
+    s_binv = {k: batched_small_inv(v) for k, v in s_blocks.items()}
 
     def precond(r_parts):
         return {k: jnp.einsum("nst,nt->ns", s_binv[k], r_parts[k])
@@ -292,9 +304,9 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     # back-substitution
     u = jnp.zeros((L, dl), dtype=dt)
     for pd in sys["proj"]:
-        pg, W = pd["pg"], pd["W"]
-        xc = dx_p[pg.cam_group][pg.ci]
-        u = u + _lm_reduce(pg, jnp.einsum("est,es->et", W, xc))
+        pg, W_lm = pd["pg"], pd["W_lm"]
+        xg = dx_p[pg.cam_group][pg.lm_cam]
+        u = u + jnp.einsum("lkst,lks->lt", W_lm, xg)
     dx_l = jnp.einsum("lst,lt->ls", Hinv, b_l - u) * free_l[:, None]
 
     dx_parts = dict(dx_p)

@@ -37,6 +37,34 @@ _ALGOS = {
 }
 
 
+class _SchurAuto:
+    """Marginalizing LM: the scatter-free dual-ELL solver when the problem
+    is BA-shaped (binary projection edges), else the general Schur path."""
+
+    name = "lm_schur"
+
+    def __init__(self, **props):
+        self._props = props
+        self._impl = None
+
+    def _resolve(self, prob):
+        if self._impl is None:
+            from openslam_g2o_tpu.core.ba_ell import (
+                LevenbergMarquardtSchurELL, build_ba_ell_pattern)
+            try:
+                build_ba_ell_pattern(prob)
+                self._impl = LevenbergMarquardtSchurELL(**self._props)
+            except ValueError:
+                self._impl = LevenbergMarquardtSchur(**self._props)
+        return self._impl
+
+    def init(self, prob):
+        return self._resolve(prob).init(prob)
+
+    def step(self, prob, state):
+        return self._impl.step(prob, state)
+
+
 class AlgorithmSpec:
     def __init__(self, algo_name: str, backend: str, marginalize: bool):
         self.algo_name = algo_name
@@ -51,7 +79,7 @@ class AlgorithmSpec:
             from openslam_g2o_tpu.core.special_solvers import SolverSlam2DLinear
             return SolverSlam2DLinear(**props)
         if (marginalize or self.marginalize) and self.algo_name == "lm":
-            return LevenbergMarquardtSchur(**props)
+            return _SchurAuto(**props)
         if self.backend == "pcg" and self.algo_name == "lm":
             return LevenbergMarquardtPCG(**props)
         return _ALGOS[self.algo_name](**props)

@@ -31,6 +31,7 @@ from typing import Callable, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from openslam_g2o_tpu.core.solvers import batched_small_inv
 
 from openslam_g2o_tpu.core import registry, robust
 
@@ -499,7 +500,7 @@ def block_jacobi_preconditioner(problem: Problem, diag_blocks: dict, lam):
         free = problem.free[g.name]
         blocks = (diag_blocks[g.name] + lam * eye[None]) * free[:, None, None] \
             + (1.0 - free)[:, None, None] * eye[None]
-        invs[g.name] = jnp.linalg.inv(blocks)
+        invs[g.name] = batched_small_inv(blocks)
 
     def precond(r: dict):
         return {name: jnp.einsum("nst,nt->ns", invs[name], r[name])

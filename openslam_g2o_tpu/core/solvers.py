@@ -17,7 +17,45 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["solve_dense_cholesky", "pcg_solve"]
+__all__ = ["solve_dense_cholesky", "pcg_solve", "batched_small_inv"]
+
+
+def batched_small_inv(A):
+    """Inverse of a batch of small SPD matrices.
+
+    For D in {1, 2, 3} uses the closed-form adjugate — pure elementwise VPU
+    arithmetic, orders of magnitude faster on TPU than batched LU
+    (jnp.linalg.inv lowers small batched inverses poorly). Larger D falls
+    back to jnp.linalg.inv.
+    """
+    D = A.shape[-1]
+    if D == 1:
+        return 1.0 / A
+    if D == 2:
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / det
+        return jnp.stack([
+            jnp.stack([d, -b], axis=-1),
+            jnp.stack([-c, a], axis=-1),
+        ], axis=-2) * inv_det[..., None, None]
+    if D == 3:
+        a = A[..., 0, 0]; b = A[..., 0, 1]; c = A[..., 0, 2]
+        d = A[..., 1, 0]; e = A[..., 1, 1]; f = A[..., 1, 2]
+        g = A[..., 2, 0]; h = A[..., 2, 1]; i = A[..., 2, 2]
+        A11 = e * i - f * h; A12 = c * h - b * i; A13 = b * f - c * e
+        A21 = f * g - d * i; A22 = a * i - c * g; A23 = c * d - a * f
+        A31 = d * h - e * g; A32 = b * g - a * h; A33 = a * e - b * d
+        det = a * A11 + b * A21 + c * A31
+        inv_det = 1.0 / det
+        adj = jnp.stack([
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A21, A22, A23], axis=-1),
+            jnp.stack([A31, A32, A33], axis=-1),
+        ], axis=-2)
+        return adj * inv_det[..., None, None]
+    return jnp.linalg.inv(A)
 
 
 def solve_dense_cholesky(H, b):

@@ -30,7 +30,7 @@ from openslam_g2o_tpu.core import robust as robust_mod
 from openslam_g2o_tpu.core.problem import (
     EdgeArrays, Problem, VGroup, linearize, robust_chi2,
     _slot_tangent_indices, apply_update_parts)
-from openslam_g2o_tpu.core.solvers import _tree_dot, pcg_solve
+from openslam_g2o_tpu.core.solvers import batched_small_inv, _tree_dot, pcg_solve
 
 __all__ = ["partition_ba_problem", "make_sharded_ba_lm_step"]
 
@@ -250,7 +250,7 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
             trials, done, rho, lam, ni, best_pose, best_lm, best_chi = st
             Hll_d = Hll + (lam * lm_free_local
                            + (1.0 - lm_free_local))[:, None, None] * eye_l
-            Hinv = jnp.linalg.inv(Hll_d)
+            Hinv = batched_small_inv(Hll_d)
             Hpp_d = Hpp + jnp.diag(lam * free_p + (1.0 - free_p))
 
             hib = jnp.einsum("lst,lt->ls", Hinv, b_l)
