@@ -205,8 +205,40 @@ def run_cpu_baseline(n_iters=3):
     return n_iters / elapsed, chi2_of(x)
 
 
+def run_tpu_ba():
+    """Bundle adjustment: dual-ELL Schur LM on a synthetic BAL-style problem
+    (100 cams / 10k points / ~80k observations — a shape whose remote
+    compile stays in seconds; see CLAUDE.md on shape-dependent compiles)."""
+    import jax
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.apps.simulator import synthetic_bal_problem
+    from openslam_g2o_tpu.core.ba_ell import (
+        LevenbergMarquardtSchurELL, _lm_ba_ell_step, build_ba_ell_pattern)
+
+    prob, gt = synthetic_bal_problem(n_cams=100, n_points=10000,
+                                     obs_per_point=8, dtype=jnp.float32)
+    pattern = build_ba_ell_pattern(prob)
+    algo = LevenbergMarquardtSchurELL()
+    state = algo.init(prob)
+    st = (state["params"], state["lam"], state["ni"], state["chi2"])
+    out = _lm_ba_ell_step(prob, pattern, *st, pcg_iters=50)
+    jax.block_until_ready(out[0])
+    st = out[:4]
+    t0 = time.monotonic()
+    for _ in range(N_TIMED_ITERS):
+        out = _lm_ba_ell_step(prob, pattern, *st, pcg_iters=50)
+        st = out[:4]
+    jax.block_until_ready(st[0])
+    elapsed = time.monotonic() - t0
+    for _ in range(10):
+        out = _lm_ba_ell_step(prob, pattern, *st, pcg_iters=50)
+        st = out[:4]
+    return N_TIMED_ITERS / elapsed, float(st[3]), gt["n_obs"]
+
+
 def main():
     tpu_ips, tpu_chi = run_tpu("pcg")
+    ba_ips, ba_chi, ba_obs = run_tpu_ba()
     base_ips, base_chi = run_cpu_baseline()
     converged = tpu_chi < CONVERGED_CHI2 * 1.05
     print(json.dumps({
@@ -218,6 +250,9 @@ def main():
         "converged_to_reference_chi2": bool(converged),
         "cpu_baseline_iters_per_sec": round(base_ips, 3),
         "cpu_baseline_chi2_after_3it": round(float(base_chi), 2),
+        "ba_schur_iters_per_sec": round(ba_ips, 2),
+        "ba_n_observations": int(ba_obs),
+        "ba_final_chi2": round(ba_chi, 1),
     }))
 
 
