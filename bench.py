@@ -55,7 +55,11 @@ def run_tpu(solver="pcg"):
         from openslam_g2o_tpu.core.sparse import build_ell_pattern
         pattern = build_ell_pattern(prob)
         # 75 PCG iterations/solve: measured convergence-equivalent to 150 on
-        # this problem at half the cost (inexact LM steps; rho test guards)
+        # this problem at half the cost (inexact LM steps; rho test guards).
+        # NOTE: a lax.scan-fused multi-iteration runner exists
+        # (lm_pcg_optimize_fused) but its remote compile is unreliable
+        # through the axon tunnel (see CLAUDE.md), so the bench times the
+        # per-step jit with host loop — conservative.
         step = lambda *s: _lm_pcg_step(prob, pattern, *s, pcg_iters=75)[:4]
         lam = _lambda_init_pcg(prob, pattern, prob.params,
                                jnp.asarray(1e-5, prob.dtype))
@@ -65,20 +69,16 @@ def run_tpu(solver="pcg"):
     ni = jnp.asarray(2.0, prob.dtype)
     chi = robust_chi2(prob)
     state = (prob.params, lam, ni, chi)
-
     # warmup/compile + converge toward the basin so timed iterations are
     # representative mid-optimization steps
     for _ in range(5):
         state = step(*state)
     jax.block_until_ready(state[0])
-
     t0 = time.monotonic()
     for _ in range(N_TIMED_ITERS):
         state = step(*state)
     jax.block_until_ready(state[0])
     elapsed = time.monotonic() - t0
-
-    # run to convergence for the correctness gate
     for _ in range(25):
         state = step(*state)
     final_chi = float(state[3])

@@ -286,6 +286,26 @@ class LevenbergMarquardtPCG:
         return new_state, info
 
 
+@partial(jax.jit, static_argnames=("n_iters", "max_trials", "pcg_iters"))
+def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
+                          chi, n_iters: int = 10, max_trials: int = 10,
+                          pcg_iters: int = 75):
+    """Run n_iters LM-PCG iterations as ONE device program (lax.scan) — no
+    host round-trip between iterations. The production serving shape: the
+    whole optimization is a single XLA executable. Returns
+    (params, lam, ni, chi, chi_trajectory [n_iters])."""
+    def body(carry, _):
+        params, lam, ni, chi = carry
+        params, lam, ni, chi, trials, ok = _lm_pcg_step.__wrapped__(
+            prob, pattern, params, lam, ni, chi,
+            max_trials=max_trials, pcg_iters=pcg_iters)
+        return (params, lam, ni, chi), chi
+
+    (params, lam, ni, chi), traj = jax.lax.scan(
+        body, (params, lam, ni, chi), None, length=n_iters)
+    return params, lam, ni, chi, traj
+
+
 # ---------------------------------------------------------------------------
 # Dogleg
 # ---------------------------------------------------------------------------

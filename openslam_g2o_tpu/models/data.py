@@ -43,6 +43,35 @@ class RawLaser:
     hostname: str = "hostname"
     logger_timestamp: float = 0.0
 
+    @classmethod
+    def parse(cls, toks):
+        it = iter(toks)
+        nxt = lambda: next(it)
+        ltype = int(nxt()); angle = float(nxt()); fov = float(nxt())
+        res = float(nxt()); maxrange = float(nxt()); acc = float(nxt())
+        rem_mode = int(nxt())
+        beams = int(nxt())
+        ranges = np.array([float(nxt()) for _ in range(beams)])
+        n_rem = int(nxt())
+        remissions = np.array([float(nxt()) for _ in range(n_rem)])
+        ts = float(nxt()); host = nxt(); lts = float(nxt())
+        params = LaserParameters(ltype, beams, angle, res, maxrange, acc,
+                                 rem_mode, fov)
+        return cls(params=params, ranges=ranges, remissions=remissions,
+                   timestamp=ts, hostname=host, logger_timestamp=lts)
+
+    def format(self):
+        parts = [f"{self.params.type}", f"{self.params.first_beam_angle!r}",
+                 f"{self.params.fov!r}", f"{self.params.angular_step!r}",
+                 f"{self.params.max_range!r}", f"{self.params.accuracy!r}",
+                 f"{self.params.remission_mode}", f"{len(self.ranges)}"]
+        parts += [repr(float(r)) for r in self.ranges]
+        parts.append(str(len(self.remissions)))
+        parts += [repr(float(r)) for r in self.remissions]
+        parts += [repr(float(self.timestamp)), self.hostname,
+                  repr(float(self.logger_timestamp))]
+        return " ".join(parts)
+
     def cartesian(self):
         """Beam endpoints in the laser frame [N, 2]."""
         angles = (self.params.first_beam_angle
@@ -163,6 +192,7 @@ class DataQueue:
 
 DATA_TYPES = {
     "ROBOTLASER1": RobotLaser,
+    "RAWLASER1": RawLaser,
     "VERTEX_TAG": VertexTag,
 }
 
