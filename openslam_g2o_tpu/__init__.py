@@ -18,3 +18,8 @@ from openslam_g2o_tpu.core import registry  # noqa: F401
 # g2o/core/factory.h).
 from openslam_g2o_tpu.models import (  # noqa: F401
     slam2d, slam3d, sba, sim3, sclam2d, icp, data, bal, deprecated)
+
+from openslam_g2o_tpu.core.algorithms import (  # noqa: F401
+    Dogleg, GaussNewton, LevenbergMarquardt, LevenbergMarquardtPCG,
+    TerminateCriterion, optimize)
+from openslam_g2o_tpu.io.g2o_format import load_g2o, loads_g2o, save_g2o  # noqa: F401
