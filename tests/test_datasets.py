@@ -42,3 +42,41 @@ class TestIntel:
         _, stats_gn = optimize(prob, GaussNewton(), iterations=8)
         _, stats_lm = optimize(prob, LevenbergMarquardt(), iterations=12)
         assert abs(stats_gn[-1]["chi2"] - stats_lm[-1]["chi2"]) < 1.0
+
+
+class TestSphere:
+    def test_lm_pcg_descends(self):
+        """sphere_bignoise_vertex3.g2o: recorded values chi2 1.766e8 ->
+        743862.7 (plateau reached ~iteration 60, identical basin from file
+        init and spanning-tree init). This test runs the first 25 iterations
+        and checks the trajectory is on the recorded path."""
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+        g = load_g2o("/root/reference/data/3d/sphere/sphere_bignoise_vertex3.g2o")
+        if g.gauge_freedom():
+            g.set_fixed(g.find_gauge(), True)
+        prob = g.compile()
+        chi0 = float(P.chi2(prob))
+        assert abs(chi0 - 176631217.78) / chi0 < 1e-6
+        out, stats = optimize(prob, LevenbergMarquardtPCG(pcg_iters=150),
+                              iterations=25)
+        assert stats[-1]["chi2"] < 1.6e6
+        chis = [s["chi2"] for s in stats]
+        assert all(b <= a + 1e-6 for a, b in zip(chis, chis[1:]))
+
+
+class TestGarage:
+    def test_lm_pcg_converges(self):
+        """parking-garage.g2o (3D SE3, real data): recorded values
+        chi2 16720.02 -> ~1.26 (25 LM-PCG iterations)."""
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+        g = load_g2o("/root/reference/data/3d/garage/parking-garage.g2o")
+        if g.gauge_freedom():
+            g.set_fixed(g.find_gauge(), True)
+        prob = g.compile()
+        chi0 = float(P.chi2(prob))
+        assert abs(chi0 - 16720.019) < 0.1
+        out, stats = optimize(prob, LevenbergMarquardtPCG(pcg_iters=100),
+                              iterations=15)
+        assert stats[-1]["chi2"] < 2.0   # deep minimum of the real dataset
+        chis = [s["chi2"] for s in stats]
+        assert all(b <= a + 1e-6 for a, b in zip(chis, chis[1:]))
