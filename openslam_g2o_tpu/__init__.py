@@ -17,7 +17,7 @@ from openslam_g2o_tpu.core import registry  # noqa: F401
 # global registry (the analogue of g2o's G2O_REGISTER_TYPE static proxies,
 # g2o/core/factory.h).
 from openslam_g2o_tpu.models import (  # noqa: F401
-    slam2d, slam3d, sba, sim3, sclam2d, icp, data, bal, deprecated)
+    slam2d, slam3d, sba, sim3, sclam2d, icp, data, bal, deprecated, target)
 
 from openslam_g2o_tpu.core.algorithms import (  # noqa: F401
     Dogleg, GaussNewton, LevenbergMarquardt, LevenbergMarquardtPCG,
