@@ -63,7 +63,8 @@ def test_constant_velocity_smoother_converges():
     est = np.asarray(out.params["posvel3d"])
     pos_rmse = np.sqrt(np.mean(np.sum(
         (est[:, :3] - np.asarray(truth)[:, :3]) ** 2, axis=1)))
-    assert pos_rmse < 1.0
+    # smoothing must beat the raw GPS fixes (per-step 3D error ~ sqrt(3)*sigma)
+    assert pos_rmse < np.sqrt(3.0) * gps_sigma * 0.9
     assert stats[-1]["chi2"] < stats[0]["chi2"]
 
 
