@@ -126,18 +126,120 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
 
-def _lm_reduce(pg: ProjGroupPattern, per_edge):
-    """sum over each landmark's edges: [E, ...] -> [L, ...] (gather+reduce)."""
-    g = per_edge[pg.lm_edge_idx]                     # [L, K, ...]
-    mask = pg.lm_mask.reshape(pg.lm_mask.shape + (1,) * (g.ndim - 2))
-    return (g * mask).sum(axis=1)
+# K-axis chunking bound: gather/einsum programs over a [N, K, ...] axis blow
+# up XLA's TPU lowering when K is large (the [C, 1088, 6, 3] programs at
+# 400k observations compile for 15+ minutes; see CLAUDE.md). Packing the K
+# axis into [nch, N, chunk, ...] and lax.scan-ning over chunks keeps the
+# compiled program one-chunk-sized at identical FLOPs.
+_K_CHUNK = 256
 
 
-def _cam_reduce(pg: ProjGroupPattern, per_edge):
-    """sum over each camera's edges: [E, ...] -> [C, ...]."""
-    g = per_edge[pg.cam_edge_idx]
-    mask = pg.cam_mask.reshape(pg.cam_mask.shape + (1,) * (g.ndim - 2))
-    return (g * mask).sum(axis=1)
+def _chunk2(a, nch):
+    """[N, nch*chunk, ...] -> [nch, N, chunk, ...]."""
+    return jnp.swapaxes(
+        a.reshape(a.shape[0], nch, _K_CHUNK, *a.shape[2:]), 0, 1)
+
+
+def _pack_tables(idx, mask):
+    """Pack an ELL (index, mask) table pair for chunked K-reductions:
+    ("flat", [N, K], [N, K]) for small K, else
+    ("chunked", [nch, N, chunk], [nch, N, chunk]). Zero-padded slots gather
+    row 0 with zero mask — harmless by construction."""
+    K = idx.shape[1]
+    if K <= 2 * _K_CHUNK:
+        return ("flat", idx, mask)
+    nch = -(-K // _K_CHUNK)
+    pad = nch * _K_CHUNK - K
+    if pad:
+        idx = jnp.pad(idx, [(0, 0), (0, pad)])
+        mask = jnp.pad(mask, [(0, 0), (0, pad)])
+    return ("chunked", _chunk2(idx, nch), _chunk2(mask, nch))
+
+
+def _bcast_mask(mask, ndim_tail):
+    return mask.reshape(mask.shape + (1,) * ndim_tail)
+
+
+def _reduce_k(per_edge, packed):
+    """sum over each owner's edge slots: [E, ...] -> [N, ...] through the
+    packed table — one gather+sum when flat, a scan of chunk-sized
+    gather+sums when chunked."""
+    kind, idx, mask = packed
+    tail = per_edge.ndim - 1
+    if kind == "flat":
+        return (per_edge[idx] * _bcast_mask(mask, tail)).sum(axis=1)
+
+    def body(acc, inp):
+        i, m = inp
+        return acc + (per_edge[i] * _bcast_mask(m, tail)).sum(axis=1), None
+
+    init = jnp.zeros((idx.shape[1],) + per_edge.shape[1:],
+                     dtype=per_edge.dtype)
+    out, _ = jax.lax.scan(body, init, (idx, mask))
+    return out
+
+
+def _gather_w(per_edge, packed):
+    """Pre-gather the per-edge W blocks into the packed owner layout:
+    ("flat", [N, K, s, t]) or ("chunked", [nch, N, chunk, s, t]). Chunked
+    uses lax.map so the program holds one chunk-sized gather."""
+    kind, idx, mask = packed
+    tail = per_edge.ndim - 1
+    if kind == "flat":
+        return ("flat", per_edge[idx] * _bcast_mask(mask, tail))
+    W_ch = jax.lax.map(
+        lambda im: per_edge[im[0]] * _bcast_mask(im[1], tail), (idx, mask))
+    return ("chunked", W_ch)
+
+
+def _pack_gidx(gidx, packed_tables):
+    """Pack a [N, K] neighbor-gather table (lm_cam / cam_lm) into the same
+    chunk layout as its W operand."""
+    kind, idx, _ = packed_tables
+    if kind == "flat":
+        return ("flat", gidx)
+    nch = idx.shape[0]
+    pad = nch * _K_CHUNK - gidx.shape[1]
+    if pad:
+        gidx = jnp.pad(gidx, [(0, 0), (0, pad)])
+    return ("chunked", _chunk2(gidx, nch))
+
+
+def _apply_k(W_packed, gidx_packed, x, spec, out_shape, dtype):
+    """sum_k einsum(spec, W[:, k], x[gidx[:, k]]): a single fused
+    gather+einsum when flat, a lax.scan over chunks when chunked (identical
+    arithmetic, bounded program size)."""
+    W = W_packed[1]
+    gidx = gidx_packed[1]
+    if W_packed[0] == "flat":
+        return jnp.einsum(spec, W, x[gidx])
+
+    def body(acc, inp):
+        Wc, ic = inp
+        return acc + jnp.einsum(spec, Wc, x[ic]), None
+
+    init = jnp.zeros(out_shape, dtype=dtype)
+    out, _ = jax.lax.scan(body, init, (W, gidx))
+    return out
+
+
+def _apply_k_sandwich(W_packed, gidx_packed, M):
+    """corr[c] = sum_k W[c, k] @ M[gidx[c, k]] @ W[c, k]^T (the block-Jacobi
+    preconditioner correction), chunk-scanned like _apply_k."""
+    spec = "ckst,cktu,ckvu->csv"
+    W = W_packed[1]
+    gidx = gidx_packed[1]
+    if W_packed[0] == "flat":
+        return jnp.einsum(spec, W, M[gidx], W)
+
+    def body(acc, inp):
+        Wc, ic = inp
+        return acc + jnp.einsum(spec, Wc, M[ic], Wc), None
+
+    C, s = W.shape[1], W.shape[3]
+    init = jnp.zeros((C, s, s), dtype=W.dtype)
+    out, _ = jax.lax.scan(body, init, (W, gidx))
+    return out
 
 
 def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
@@ -160,8 +262,10 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         Jl, Jc = jacs[pg.lm_slot], jacs[pg.cam_slot]
         Jl_w = jnp.einsum("eas,eab->esb", Jl, w_omega)
         Jc_w = jnp.einsum("eas,eab->esb", Jc, w_omega)
-        Hll = Hll + _lm_reduce(pg, jnp.einsum("esb,ebt->est", Jl_w, Jl))
-        b_l = b_l + _lm_reduce(pg, -jnp.einsum("esb,eb->es", Jl_w, resid))
+        lm_tbl = _pack_tables(pg.lm_edge_idx, pg.lm_mask)
+        cam_tbl = _pack_tables(pg.cam_edge_idx, pg.cam_mask)
+        Hll = Hll + _reduce_k(jnp.einsum("esb,ebt->est", Jl_w, Jl), lm_tbl)
+        b_l = b_l + _reduce_k(-jnp.einsum("esb,eb->es", Jl_w, resid), lm_tbl)
         W = jnp.einsum("esb,ebt->est", Jc_w, Jl)     # [E, Dp, dl]
         Hcc_e = jnp.einsum("esb,ebt->est", Jc_w, Jc)
         bp_e = -jnp.einsum("esb,eb->es", Jc_w, resid)
@@ -169,13 +273,16 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         slot = groups.setdefault(pg.cam_group, {
             "Hcc": jnp.zeros((cg.count, cg.tangent_dim, cg.tangent_dim), dt),
             "b": jnp.zeros((cg.count, cg.tangent_dim), dt)})
-        slot["Hcc"] = slot["Hcc"] + _cam_reduce(pg, Hcc_e)
-        slot["b"] = slot["b"] + _cam_reduce(pg, bp_e)
+        slot["Hcc"] = slot["Hcc"] + _reduce_k(Hcc_e, cam_tbl)
+        slot["b"] = slot["b"] + _reduce_k(bp_e, cam_tbl)
         # pre-gather W into BOTH ELL layouts (one-time per linearization)
         # so PCG matvecs gather only from the small x_c / v tables
-        W_lm = W[pg.lm_edge_idx] * pg.lm_mask[:, :, None, None]
-        W_cam = W[pg.cam_edge_idx] * pg.cam_mask[:, :, None, None]
-        proj_data.append({"pg": pg, "W": W, "W_lm": W_lm, "W_cam": W_cam})
+        proj_data.append({
+            "pg": pg,
+            "W_lm": _gather_w(W, lm_tbl),
+            "W_cam": _gather_w(W, cam_tbl),
+            "lm_cam": _pack_gidx(pg.lm_cam, lm_tbl),
+            "cam_lm": _pack_gidx(pg.cam_lm, cam_tbl)})
 
     # pose-only edges -> small dense extra over the pose tangent block
     Hpp_extra = jnp.zeros((Tp, Tp), dtype=dt)
@@ -250,14 +357,18 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             out[g.name] = seg.reshape(g.count, g.tangent_dim)
         return out
 
+    def cam_shape(pg):
+        g = problem.static.vgroup(pg.cam_group)
+        return (g.count, g.tangent_dim)
+
     # reduced rhs
     hib = jnp.einsum("lst,lt->ls", Hinv, b_l)
     b_red = {g.name: sys["groups"].get(g.name, {"b": jnp.zeros(
         (g.count, g.tangent_dim), dt)})["b"] for g in pose_groups}
     for pd in sys["proj"]:
-        pg, W_cam = pd["pg"], pd["W_cam"]
-        b_red[pg.cam_group] = b_red[pg.cam_group] - jnp.einsum(
-            "ckst,ckt->cs", W_cam, hib[pg.cam_lm])
+        pg = pd["pg"]
+        b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_k(
+            pd["W_cam"], pd["cam_lm"], hib, "ckst,ckt->cs", cam_shape(pg), dt)
     if has_extra:
         extra = flat_to_parts(sys["b_extra"])
         b_red = {k: b_red[k] + extra[k] for k in b_red}
@@ -273,23 +384,22 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             y = {k: y[k] + extra[k] for k in y}
         u = jnp.zeros((L, dl), dtype=dt)
         for pd in sys["proj"]:
-            pg, W_lm = pd["pg"], pd["W_lm"]
-            xg = x_parts[pg.cam_group][pg.lm_cam]        # [L, K_l, Dp]
-            u = u + jnp.einsum("lkst,lks->lt", W_lm, xg)
+            pg = pd["pg"]
+            u = u + _apply_k(pd["W_lm"], pd["lm_cam"], x_parts[pg.cam_group],
+                             "lkst,lks->lt", (L, dl), dt)
         v = jnp.einsum("lst,lt->ls", Hinv, u)
         for pd in sys["proj"]:
-            pg, W_cam = pd["pg"], pd["W_cam"]
-            vg = v[pg.cam_lm]                            # [C, K_c, dl]
-            y[pg.cam_group] = y[pg.cam_group] - jnp.einsum(
-                "ckst,ckt->cs", W_cam, vg)
+            pg = pd["pg"]
+            y[pg.cam_group] = y[pg.cam_group] - _apply_k(
+                pd["W_cam"], pd["cam_lm"], v, "ckst,ckt->cs", cam_shape(pg),
+                dt)
         return y
 
     # block-Jacobi preconditioner on diag(S)
     s_blocks = dict(Hcc_d)
     for pd in sys["proj"]:
-        pg, W_cam = pd["pg"], pd["W_cam"]
-        corr = -jnp.einsum("ckst,cktu,ckvu->csv", W_cam, Hinv[pg.cam_lm],
-                           W_cam)
+        pg = pd["pg"]
+        corr = -_apply_k_sandwich(pd["W_cam"], pd["cam_lm"], Hinv)
         s_blocks[pg.cam_group] = s_blocks[pg.cam_group] + corr
     s_binv = {k: batched_small_inv(v) for k, v in s_blocks.items()}
 
@@ -304,9 +414,9 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     # back-substitution
     u = jnp.zeros((L, dl), dtype=dt)
     for pd in sys["proj"]:
-        pg, W_lm = pd["pg"], pd["W_lm"]
-        xg = dx_p[pg.cam_group][pg.lm_cam]
-        u = u + jnp.einsum("lkst,lks->lt", W_lm, xg)
+        pg = pd["pg"]
+        u = u + _apply_k(pd["W_lm"], pd["lm_cam"], dx_p[pg.cam_group],
+                         "lkst,lks->lt", (L, dl), dt)
     dx_l = jnp.einsum("lst,lt->ls", Hinv, b_l - u) * free_l[:, None]
 
     dx_parts = dict(dx_p)

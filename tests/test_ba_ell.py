@@ -60,3 +60,40 @@ class TestDualEll:
         g.add_edge("edge_se2_xy_calib", (0, 1, 2), [1, 1], np.eye(2))
         with pytest.raises(ValueError):
             build_ba_ell_pattern(g.compile())
+
+
+class TestKChunking:
+    """The K-axis chunk-scan path (ba_ell._K_CHUNK) must be numerically
+    identical to the flat gather+einsum path — it exists purely to bound
+    XLA program size at BAL scale (see CLAUDE.md compile pathology)."""
+
+    def test_chunked_matches_flat(self, monkeypatch):
+        import openslam_g2o_tpu.core.ba_ell as ba_ell
+        from tests.test_ba import make_ba_scene
+        from openslam_g2o_tpu.core.ba_ell import _lm_ba_ell_step
+        from openslam_g2o_tpu.core.problem import robust_chi2
+        import jax.numpy as jnp
+
+        # 40 points x 8 cams fully observed -> K_c = 40 per camera; chunk=8
+        # forces 5 chunks on the camera axis while K_l=8 stays flat
+        g, _, _ = make_ba_scene(n_cams=8, n_points=40, pixel_noise=0.5)
+        prob = g.compile()
+        algo = LevenbergMarquardtSchurELL(pcg_iters=40)
+        st = algo.init(prob)
+        args = (st["params"], st["lam"], st["ni"], st["chi2"])
+
+        pat_flat = build_ba_ell_pattern(prob)
+        # the unjitted function — a jitted call would hit the jit cache and
+        # silently reuse the flat trace despite the monkeypatch
+        step = _lm_ba_ell_step.__wrapped__
+        out_flat = step(prob, pat_flat, *args, pcg_iters=40)
+
+        monkeypatch.setattr(ba_ell, "_K_CHUNK", 8)
+        out_ch = step(prob, pat_flat, *args, pcg_iters=40)
+
+        np.testing.assert_allclose(float(out_ch[3]), float(out_flat[3]),
+                                   rtol=1e-9)
+        for k in out_flat[0]:
+            np.testing.assert_allclose(np.asarray(out_ch[0][k]),
+                                       np.asarray(out_flat[0][k]),
+                                       rtol=1e-7, atol=1e-9)
