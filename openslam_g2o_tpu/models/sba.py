@@ -186,6 +186,45 @@ EDGE_PROJECT_XYZ2UVU = register_edge_type(EdgeType(
 ))
 
 
+def invert_depth(psi):
+    """Anchored inverse-depth -> 3D point in the anchor frame:
+    unproject2d(psi[:2]) / psi[2] (types_six_dof_expmap.cpp:166-171 /
+    ba_anchored_inverse_depth_demo.cpp:100-102). psi = (u, v, rho)."""
+    return jnp.stack([psi[0], psi[1], jnp.ones_like(psi[2])]) / psi[2]
+
+
+def depth_to_psi(point_anchor):
+    """Inverse of invert_depth: anchor-frame 3D point -> (u, v, rho)."""
+    return jnp.stack([point_anchor[0], point_anchor[1],
+                      jnp.ones_like(point_anchor[2])]) / point_anchor[2]
+
+
+def _edge_psi2uv_error(vparams, meas, pdata):
+    """EdgeProjectPSI2UV (anchored inverse depth, BaseMultiEdge<2>):
+    obs - cam_map(T_p_w * T_anchor_w^-1 * invert_depth(psi))
+    (types_six_dof_expmap.cpp:173-183). Slots: psi point (marginalizable),
+    observing camera, anchor camera."""
+    psi, t_w2c, t_anchor = vparams
+    (cam,) = pdata
+    pw = lie.se3_apply(lie.se3_inverse(t_anchor), invert_depth(psi))
+    pc = lie.se3_apply(t_w2c, pw)
+    return meas - cam_map(pc, cam[0], cam[1], cam[2])
+
+
+# The reference never registers a file tag for EdgeProjectPSI2UV (it is
+# programmatic-only, types_six_dof_expmap.cpp:36-41); we assign one so these
+# graphs also round-trip through .g2o — a strict superset.
+EDGE_PROJECT_PSI2UV = register_edge_type(EdgeType(
+    name="edge_project_psi2uv",
+    tag="EDGE_PROJECT_PSI2UV:EXPMAP",
+    vertex_types=("sba_point_xyz", "se3_expmap", "se3_expmap"),
+    error_dim=2,
+    measurement_dim=2,
+    error=_edge_psi2uv_error,
+    param_types=("camera_parameters",),
+))
+
+
 # ---------------------------------------------------------------------------
 # Edges — SBACam family
 # ---------------------------------------------------------------------------
