@@ -14,7 +14,7 @@ from typing import Callable, Optional
 from openslam_g2o_tpu.core.graph import Graph
 
 __all__ = ["shortest_paths", "connected_subset", "connected_components",
-           "visit_tree"]
+           "visit_tree", "find_connected_edges_with_cost_limit"]
 
 
 def _adjacency(graph: Graph, edge_filter=None):
@@ -73,6 +73,40 @@ def connected_subset(graph: Graph, root: int, edge_filter=None):
     """Vertex ids reachable from root (connectedSubset,
     hyper_dijkstra.cpp:227)."""
     return set(shortest_paths(graph, root, edge_filter=edge_filter))
+
+
+def find_connected_edges_with_cost_limit(graph: Graph, start: int,
+                                         cost_fn: Callable,
+                                         max_edge_cost: float):
+    """Edge-BFS region growing (g2o_unfold/tools.cpp:17-70): starting from
+    edge index `start`, flood across shared vertices collecting edges with
+    cost_fn(edge) <= max_edge_cost into `selected`; costlier edges met at
+    the frontier go into `border`. Returns (selected, border) as sets of
+    edge indices into graph.edges. cost_fn(edge_index, edge) -> float."""
+    edges_of = {vid: [] for vid in graph.vertices}
+    for i, e in enumerate(graph.edges):
+        for vid in e.vertex_ids:
+            edges_of[vid].append(i)
+    frontier = [start]
+    selected: set = set()
+    border: set = set()
+    seen = {start}
+    while frontier:
+        i = frontier.pop()
+        e = graph.edges[i]
+        c = cost_fn(i, e)
+        if not (c == c) or c == float("inf"):
+            continue
+        if c > max_edge_cost:
+            border.add(i)
+            continue
+        selected.add(i)
+        for vid in e.vertex_ids:
+            for j in edges_of[vid]:
+                if j not in seen:
+                    seen.add(j)
+                    frontier.append(j)
+    return selected, border
 
 
 def connected_components(graph: Graph):

@@ -246,6 +246,26 @@ def build_problem(graph, dtype=None, level: int = 0,
     return Problem(params, free, edges, static)
 
 
+def edge_group_rows(graph, level: int = 0):
+    """For each edge in graph.edges (in order), the (egroup key, row) it
+    lands on in build_problem's type/kernel bucketing — the host-side map
+    from graph edges to Problem table rows. Edges on other levels map to
+    None."""
+    counts: dict = {}
+    out = []
+    for e in graph.edges:
+        if e.level != level:
+            out.append(None)
+            continue
+        kid = robust.kernel_id(e.kernel)
+        key = e.etype.name if kid == robust.NONE_ID \
+            else f"{e.etype.name}#{robust.kernel_names()[kid]}"
+        row = counts.get(key, 0)
+        counts[key] = row + 1
+        out.append((key, row))
+    return out
+
+
 def write_back(problem: Problem, graph) -> None:
     """Copy optimized estimates back into the host graph records."""
     order: dict[str, list] = {}
