@@ -54,13 +54,16 @@ def run_tpu(solver="pcg"):
     if solver == "pcg":
         from openslam_g2o_tpu.core.sparse import build_ell_pattern
         pattern = build_ell_pattern(prob)
-        # 75 PCG iterations/solve: measured convergence-equivalent to 150 on
-        # this problem at half the cost (inexact LM steps; rho test guards).
+        # Inexact-Newton forcing: relative-residual tol 0.05 with a 200-iter
+        # budget measured fastest on-chip (8.9 ms/LM-iter vs 12.1 for the
+        # old fixed-75/tol-1e-8 config) AND reaches better chi2 at 40 iters
+        # (148.8 vs 151.2) — the rho test guards inexact steps.
         # NOTE: a lax.scan-fused multi-iteration runner exists
         # (lm_pcg_optimize_fused) but its remote compile is unreliable
         # through the axon tunnel (see CLAUDE.md), so the bench times the
         # per-step jit with host loop — conservative.
-        step = lambda *s: _lm_pcg_step(prob, pattern, *s, pcg_iters=75)[:4]
+        step = lambda *s: _lm_pcg_step(prob, pattern, *s, pcg_iters=200,
+                                       pcg_tol=0.05)[:4]
         lam = _lambda_init_pcg(prob, pattern, prob.params,
                                jnp.asarray(1e-5, prob.dtype))
     else:

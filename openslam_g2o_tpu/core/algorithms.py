@@ -164,9 +164,10 @@ class LevenbergMarquardt:
 # Levenberg-Marquardt with matrix-free PCG
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_trials", "pcg_iters"))
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
 def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
-                 max_trials: int = 10, pcg_iters: int = 150):
+                 max_trials: int = 10, pcg_iters: int = 150,
+                 pcg_tol: float = 1e-8):
     """LM iteration solving H dx = b by block-ELL matrix-free PCG.
 
     The Hessian lives in the block-ELL layout (core/sparse.py): assembly is
@@ -201,7 +202,7 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         damped = lambda x: ell_matvec(work, pattern, values, x, extra_diag=extra)
         precond = block_jacobi_preconditioner(work, diag_blocks, lam)
         dx, ok = pcg_solve(damped, b, precond=precond, max_iter=pcg_iters,
-                           tol=1e-8)
+                           tol=pcg_tol)
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
         chi_new = jnp.where(ok, chi_new, jnp.inf)
@@ -249,11 +250,17 @@ class LevenbergMarquardtPCG:
 
     def __init__(self, initial_lambda: float = 0.0,
                  max_trials_after_failure: int = 10, tau: float = 1e-5,
-                 pcg_iters: int = 150):
+                 pcg_iters: int = 150, pcg_tol: float = 1e-8):
+        """pcg_tol is the inexact-Newton forcing tolerance (relative
+        residual); LM's gain-ratio test guards step quality, so loose
+        tolerances (1e-2) are safe and much cheaper on large graphs —
+        mirrors LinearSolverPCG's tolerance property
+        (linear_solver_pcg.h:62-75)."""
         self.initial_lambda = initial_lambda
         self.max_trials = max_trials_after_failure
         self.tau = tau
         self.pcg_iters = pcg_iters
+        self.pcg_tol = pcg_tol
         self._pattern = None
         self._pattern_for = None
 
@@ -278,8 +285,8 @@ class LevenbergMarquardtPCG:
     def step(self, prob: Problem, state: dict):
         params, lam, ni, chi, trials, accepted = _lm_pcg_step(
             prob, self.pattern(prob), state["params"], state["lam"],
-            state["ni"], state["chi2"],
-            max_trials=self.max_trials, pcg_iters=self.pcg_iters)
+            state["ni"], state["chi2"], max_trials=self.max_trials,
+            pcg_iters=self.pcg_iters, pcg_tol=self.pcg_tol)
         new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
         info = {"chi2": float(chi), "lambda": float(lam),
                 "levenberg_iters": int(trials), "ok": bool(accepted)}
