@@ -432,10 +432,10 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     return dx_parts, ok, b_parts
 
 
-@partial(jax.jit, static_argnames=("max_trials", "pcg_iters"))
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
 def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
                     lam, ni, chi_cur, max_trials: int = 10,
-                    pcg_iters: int = 100):
+                    pcg_iters: int = 100, pcg_tol: float = 1e-10):
     """One LM iteration on the dual-ELL Schur solver (same trial semantics
     as the reference LM, optimization_algorithm_levenberg.cpp:95-142)."""
     from openslam_g2o_tpu.core.problem import apply_update_parts
@@ -452,7 +452,8 @@ def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
 
     def trial_body(st):
         trials, done, rho, lam, ni, best_params, best_chi = st
-        dx, ok, b_parts = _solve(work, pattern, sys, lam, pcg_iters)
+        dx, ok, b_parts = _solve(work, pattern, sys, lam, pcg_iters,
+                                 pcg_tol=pcg_tol)
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
         chi_new = jnp.where(ok, chi_new, jnp.inf)
@@ -483,11 +484,12 @@ class LevenbergMarquardtSchurELL:
 
     def __init__(self, initial_lambda: float = 0.0,
                  max_trials_after_failure: int = 10, tau: float = 1e-5,
-                 pcg_iters: int = 100):
+                 pcg_iters: int = 100, pcg_tol: float = 1e-10):
         self.initial_lambda = initial_lambda
         self.max_trials = max_trials_after_failure
         self.tau = tau
         self.pcg_iters = pcg_iters
+        self.pcg_tol = pcg_tol
         self._pattern = None
         self._pattern_for = None
 
@@ -526,7 +528,8 @@ class LevenbergMarquardtSchurELL:
         params, lam, ni, chi, trials, accepted = _lm_ba_ell_step(
             prob, self.pattern(prob), state["params"], state["lam"],
             state["ni"], state["chi2"],
-            max_trials=self.max_trials, pcg_iters=self.pcg_iters)
+            max_trials=self.max_trials, pcg_iters=self.pcg_iters,
+            pcg_tol=self.pcg_tol)
         new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
         info = {"chi2": float(chi), "lambda": float(lam),
                 "levenberg_iters": int(trials), "ok": bool(accepted)}
