@@ -293,10 +293,11 @@ class LevenbergMarquardtPCG:
         return new_state, info
 
 
-@partial(jax.jit, static_argnames=("n_iters", "max_trials", "pcg_iters"))
+@partial(jax.jit,
+         static_argnames=("n_iters", "max_trials", "pcg_iters", "pcg_tol"))
 def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
                           chi, n_iters: int = 10, max_trials: int = 10,
-                          pcg_iters: int = 75):
+                          pcg_iters: int = 75, pcg_tol: float = 1e-8):
     """Run n_iters LM-PCG iterations as ONE device program (lax.scan) — no
     host round-trip between iterations. The production serving shape: the
     whole optimization is a single XLA executable. Returns
@@ -304,8 +305,8 @@ def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
     def body(carry, _):
         params, lam, ni, chi = carry
         params, lam, ni, chi, trials, ok = _lm_pcg_step.__wrapped__(
-            prob, pattern, params, lam, ni, chi,
-            max_trials=max_trials, pcg_iters=pcg_iters)
+            prob, pattern, params, lam, ni, chi, max_trials=max_trials,
+            pcg_iters=pcg_iters, pcg_tol=pcg_tol)
         return (params, lam, ni, chi), chi
 
     (params, lam, ni, chi), traj = jax.lax.scan(
