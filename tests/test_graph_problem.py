@@ -284,3 +284,50 @@ class TestSE3:
         assert stats[-1]["chi2"] < 1e-10
         est = np.asarray(out.params["se3"])
         np.testing.assert_allclose(est[:, :3], np.stack(gt)[:, :3], atol=1e-5)
+
+
+def test_fused_lm_runner_matches_per_step():
+    """lm_pcg_optimize_fused (one lax.scan device program) follows the same
+    trajectory as the per-step jit path, including the forcing tolerance."""
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.core.algorithms import (
+        _lm_pcg_step, _lambda_init_pcg, lm_pcg_optimize_fused)
+    from openslam_g2o_tpu.core.problem import robust_chi2
+    from openslam_g2o_tpu.core.sparse import build_ell_pattern
+    from openslam_g2o_tpu.utils import np_lie
+    from openslam_g2o_tpu.core.graph import Graph
+    import numpy as np
+
+    rng = np.random.default_rng(4)
+    g = Graph()
+    n = 24
+    gt, pose = [], np.zeros(3)
+    step_m = np.array([1.0, 0.0, 2 * np.pi / n])
+    for i in range(n):
+        gt.append(pose.copy())
+        pose = np_lie.se2_compose(pose, step_m)
+    info = np.diag([100.0, 100.0, 400.0])
+    for i, p in enumerate(gt):
+        g.add_vertex(i, "se2", p + (rng.normal(0, 0.05, 3) if i else 0),
+                     fixed=(i == 0))
+    for i in range(n):
+        z = np_lie.se2_compose(np_lie.se2_inverse(gt[i]), gt[(i + 1) % n])
+        g.add_edge("edge_se2", (i, (i + 1) % n), z, info)
+
+    prob = g.compile()
+    pattern = build_ell_pattern(prob)
+    lam = _lambda_init_pcg(prob, pattern, prob.params,
+                           jnp.asarray(1e-5, prob.dtype))
+    ni = jnp.asarray(2.0, prob.dtype)
+    chi = robust_chi2(prob)
+
+    st = (prob.params, lam, ni, chi)
+    for _ in range(5):
+        st = _lm_pcg_step(prob, pattern, *st, pcg_iters=100,
+                          pcg_tol=0.05)[:4]
+
+    _, _, _, chi_f, traj = lm_pcg_optimize_fused(
+        prob, pattern, prob.params, lam, ni, chi, n_iters=5,
+        pcg_iters=100, pcg_tol=0.05)
+    np.testing.assert_allclose(float(chi_f), float(st[3]), rtol=1e-6)
+    assert traj.shape == (5,)
