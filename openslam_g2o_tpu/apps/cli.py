@@ -198,7 +198,12 @@ def main(argv=None):
             k, _, v = kv.partition("=")
             key = {"initialLambda": "initial_lambda",
                    "maxTrialsAfterFailure": "max_trials_after_failure",
-                   "initialDelta": "initial_delta"}.get(k.strip())
+                   "initialDelta": "initial_delta",
+                   # PCG backend knobs (LinearSolverPCG properties,
+                   # linear_solver_pcg.h:62-75): iteration budget and the
+                   # inexact-Newton forcing tolerance (relative residual)
+                   "pcgIterations": "pcg_iters",
+                   "pcgTolerance": "pcg_tol"}.get(k.strip())
             if key is None:
                 print(f"# ignoring unknown solver property {k}", file=sys.stderr)
             else:
@@ -208,7 +213,26 @@ def main(argv=None):
     use_schur = ((args.marginalize or spec.marginalize)
                  and len(prob.static.marginalized_groups) == 1
                  and prob.static.pose_dim < prob.static.total_dim)
-    algorithm = spec.make(marginalize=use_schur, **props)
+    # drop properties the chosen algorithm does not take (e.g. pcg knobs on
+    # a dense solver) — the reference likewise ignores inapplicable ones
+    import re
+    props_use = dict(props)
+    while True:
+        try:
+            algorithm = spec.make(marginalize=use_schur, **props_use)
+            break
+        except TypeError as exc:
+            m = re.search(r"unexpected keyword argument '([^']+)'", str(exc))
+            if (not m or m.group(1) not in props_use):
+                if "takes no arguments" in str(exc) and props_use:
+                    for k in list(props_use):
+                        print(f"# solver ignores property {k}",
+                              file=sys.stderr)
+                    props_use.clear()
+                    continue
+                raise
+            print(f"# solver ignores property {m.group(1)}", file=sys.stderr)
+            del props_use[m.group(1)]
     if use_schur:
         print("# Schur complement: marginalizing "
               f"{prob.static.marginalized_groups[0].name}", file=sys.stderr)
