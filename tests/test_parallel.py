@@ -79,3 +79,76 @@ class TestDistributedSchurBA:
         est = np.asarray(lm)[:40]   # unpadded region
         np.testing.assert_allclose(est, np.asarray(out.params["sba_point_xyz"]),
                                    atol=1e-5)
+
+
+class TestKeyframePartitionedPCG:
+    """parallel/pg_sharding.py: row-sharded (keyframe-partitioned) ELL-PCG."""
+
+    def _single_traj(self, prob, iterations=5, pcg_iters=120, pcg_tol=1e-10):
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+        _, stats = optimize(
+            prob, LevenbergMarquardtPCG(pcg_iters=pcg_iters, pcg_tol=pcg_tol),
+            iterations=iterations)
+        return [s["chi2"] for s in stats]
+
+    def test_pad_problem_vertices_is_noop_for_objective(self):
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.parallel.pg_sharding import pad_problem_vertices
+        g, _ = make_se2_chain(13, noise=0.2)
+        prob = g.compile()
+        padded = pad_problem_vertices(prob, 8)
+        for vg in padded.static.vgroups:
+            assert vg.count % 8 == 0
+        assert float(P.robust_chi2(padded)) == pytest.approx(
+            float(P.robust_chi2(prob)), rel=1e-12)
+        # layout invariant: poses-first offsets are contiguous
+        off = 0
+        for vg in padded.static.vgroups:
+            assert vg.offset == off
+            off += vg.count * vg.tangent_dim
+        assert padded.static.total_dim == off
+
+    def test_matches_single_device_1d(self, mesh8):
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.parallel.pg_sharding import (
+            distributed_pcg_lm_optimize)
+        g, _ = make_se2_chain(26, noise=0.15)
+        prob = g.compile()
+        single = self._single_traj(prob)
+        _, stats = distributed_pcg_lm_optimize(
+            prob, mesh8, iterations=5, pcg_iters=120, pcg_tol=1e-10)
+        np.testing.assert_allclose([s["chi2"] for s in stats], single,
+                                   rtol=1e-6, atol=1e-15)
+
+    def test_matches_single_device_2d_host_chip(self):
+        """2D mesh: rows over the 'host' (DCN) axis, edges over both axes."""
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.parallel.pg_sharding import (
+            distributed_pcg_lm_optimize)
+        g, _ = make_se2_chain(26, noise=0.15)
+        prob = g.compile()
+        single = self._single_traj(prob)
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                    ("host", "chip"))
+        _, stats = distributed_pcg_lm_optimize(
+            prob, mesh, iterations=5, row_axis="host", pcg_iters=120,
+            pcg_tol=1e-10)
+        np.testing.assert_allclose([s["chi2"] for s in stats], single,
+                                   rtol=1e-6, atol=1e-15)
+
+    def test_landmark_slam_mixed_groups(self, mesh8):
+        """Mixed SE2 + point-XY graph exercises per-group row partitions of
+        different sizes (incl. a group smaller than the row-axis count)."""
+        from openslam_g2o_tpu.apps.simulator import Simulator2D
+        from openslam_g2o_tpu.parallel.pg_sharding import (
+            distributed_pcg_lm_optimize)
+        g, _ = Simulator2D(n_landmarks=5, seed=3, sensor_range=6.0).simulate(
+            n_poses=20)
+        if g.gauge_freedom():
+            g.set_fixed(g.find_gauge(), True)
+        prob = g.compile()
+        single = self._single_traj(prob)
+        _, stats = distributed_pcg_lm_optimize(
+            prob, mesh8, iterations=5, pcg_iters=120, pcg_tol=1e-10)
+        np.testing.assert_allclose([s["chi2"] for s in stats], single,
+                                   rtol=1e-6, atol=1e-15)
