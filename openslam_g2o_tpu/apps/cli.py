@@ -28,6 +28,9 @@ def build_parser():
                    help="verbose output of the optimization process")
     p.add_argument("-guess", action="store_true",
                    help="initial guess based on spanning tree")
+    p.add_argument("-guessOdometry", action="store_true",
+                   help="initial guess based on odometry edges only "
+                        "(EstimatePropagatorCostOdometry)")
     p.add_argument("-incremental", action="store_true",
                    help="process the graph incrementally (online re-solves)")
     p.add_argument("-update", type=int, default=10,
@@ -106,7 +109,8 @@ def main(argv=None):
 
     from openslam_g2o_tpu.core import problem as P
     from openslam_g2o_tpu.core.algorithms import optimize, TerminateCriterion
-    from openslam_g2o_tpu.core.initial_guess import spanning_tree_initial_guess
+    from openslam_g2o_tpu.core.initial_guess import (
+        odometry_cost, spanning_tree_initial_guess)
     from openslam_g2o_tpu.io.g2o_format import load_g2o, save_g2o
 
     renamed = None
@@ -150,8 +154,9 @@ def main(argv=None):
         graph.set_robust_kernel(args.robustKernel, width)
         print(f"# robust kernel {args.robustKernel} width {width}", file=sys.stderr)
 
-    if args.guess:
-        n = spanning_tree_initial_guess(graph)
+    if args.guess or args.guessOdometry:
+        cost = odometry_cost if args.guessOdometry else None
+        n = spanning_tree_initial_guess(graph, cost_fn=cost)
         print(f"# initial guess: initialized {n} vertices", file=sys.stderr)
 
     if args.incremental:

@@ -21,7 +21,19 @@ import numpy as np
 
 from openslam_g2o_tpu.core.graph import Graph
 
-__all__ = ["spanning_tree_initial_guess"]
+__all__ = ["spanning_tree_initial_guess", "odometry_cost"]
+
+
+def odometry_cost(edge) -> float:
+    """EstimatePropagatorCostOdometry (estimate_propagator.h:66-77,
+    .cpp:249-266): prefer odometry edges when growing the spanning tree —
+    an edge counts only if it is binary and joins consecutively-numbered
+    vertices (the reference's "simple method to identify odometry edges in a
+    pose graph"); everything else costs infinity and is never traversed."""
+    if len(edge.vertex_ids) == 2 and \
+            abs(edge.vertex_ids[0] - edge.vertex_ids[1]) == 1:
+        return 1.0
+    return np.inf
 
 
 def spanning_tree_initial_guess(graph: Graph, cost_fn=None) -> int:

@@ -67,6 +67,18 @@ def _dcs(e2, delta):
     return scale * e2 * scale, scale * scale, jnp.zeros_like(e2)
 
 
+def _make_scale_delta(inner):
+    """RobustKernelScaleDelta (robust_kernel_impl.h:42-61, .cpp:50-63): adapt
+    a kernel designed for a fixed window (its own delta = 1) to another
+    window size: rho = inner(e2 / delta^2) with rho0 *= delta^2 and
+    rho2 /= delta^2. The per-edge delta is the wrapper's scaling delta."""
+    def fn(e2, delta):
+        dsqr = delta * delta
+        r0, r1, r2 = inner(e2 / dsqr, jnp.ones_like(delta))
+        return r0 * dsqr, r1, r2 / dsqr
+    return fn
+
+
 # Order defines the integer kernel ids used inside jitted code.
 ROBUST_KERNELS = {
     "None": _none,
@@ -75,6 +87,15 @@ ROBUST_KERNELS = {
     "Cauchy": _cauchy,
     "Saturated": _saturated,
     "DCS": _dcs,
+    # ScaleDelta wrappers over each fixed-window kernel. The reference builds
+    # these programmatically (RobustKernelScaleDelta takes any inner kernel,
+    # robust_kernel_impl.h:42-61); with integer kernel ids the composition is
+    # enumerated at registration instead.
+    "ScaleDelta:Huber": _make_scale_delta(_huber),
+    "ScaleDelta:PseudoHuber": _make_scale_delta(_pseudo_huber),
+    "ScaleDelta:Cauchy": _make_scale_delta(_cauchy),
+    "ScaleDelta:Saturated": _make_scale_delta(_saturated),
+    "ScaleDelta:DCS": _make_scale_delta(_dcs),
 }
 
 NONE_ID = 0

@@ -257,6 +257,31 @@ EDGE_PROJECT_P2MC = register_edge_type(EdgeType(
 ))
 
 
+def _edge_p2mc_intrinsics_error(vparams, meas, pdata):
+    """EdgeProjectP2MC_Intrinsics (types_sba.h:256-281): monocular projection
+    whose K is the shared VertexIntrinsics estimate (fx, fy, cx, cy — the
+    optimized entries; baseline unused for mono). The reference's analytic
+    Jacobian (types_sba.cpp:418-500) treats Kcam == the intrinsics vertex, so
+    the functional error projects directly through the intrinsics vertex and
+    jacfwd reproduces that Jacobian including the dfx/dfy/dcx/dcy columns."""
+    point, cam, intr = vparams
+    t, q = cam[:3], cam[3:7]
+    pc = lie.quat_rotate(lie.quat_conj(q), point - t)   # R^T (p - t)
+    u = (intr[0] * pc[0] + intr[2] * pc[2]) / pc[2]
+    v = (intr[1] * pc[1] + intr[3] * pc[2]) / pc[2]
+    return jnp.stack([u, v]) - meas
+
+
+EDGE_PROJECT_P2MC_INTRINSICS = register_edge_type(EdgeType(
+    name="edge_project_p2mc_intrinsics",
+    tag="EDGE_PROJECT_P2MC_INTRINSICS",
+    vertex_types=("sba_point_xyz", "cam", "intrinsics"),
+    error_dim=2,
+    measurement_dim=2,
+    error=_edge_p2mc_intrinsics_error,
+))
+
+
 def _edge_p2sc_error(vparams, meas, pdata):
     """EdgeProjectP2SC (stereo): left (u,v) + right u with baseline shift
     (types_sba.h:209-240)."""

@@ -33,15 +33,12 @@ padded problem (tests/test_parallel.py).
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from openslam_g2o_tpu.core import robust as robust_mod
 from openslam_g2o_tpu.core.problem import (
     Problem, apply_update_parts, block_jacobi_preconditioner, linearize,
     robust_chi2,
@@ -84,12 +81,6 @@ def pad_problem_vertices(problem: Problem, multiple: int) -> Problem:
         pose_dim=pose_dim)
     return dataclasses.replace(problem, params=new_params, free=new_free,
                                static=static)
-
-
-def _edge_axes(mesh: Mesh, row_axis: str):
-    names = tuple(mesh.axis_names)
-    assert row_axis in names, (row_axis, names)
-    return names
 
 
 def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
@@ -203,17 +194,7 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
 
             # chi2 of the candidate: edge-sharded + psum (the same shape as
             # the reference's computeActiveErrors, sparse_optimizer.cpp:61)
-            chi_new = jnp.zeros((), work.dtype)
-            for eg in work.static.egroups:
-                ea = edges_local[eg.key]
-                vparams = tuple(cand[g][ea.indices[s]]
-                                for s, g in enumerate(eg.slots))
-                resid = jax.vmap(eg.etype.error)(
-                    vparams, ea.measurement, ea.pdata)
-                e2 = jnp.einsum("ea,eab,eb->e", resid, ea.information, resid)
-                rho0, _, _ = robust_mod.robustify(eg.kernel_id, e2, ea.delta)
-                chi_new = chi_new + jnp.sum(rho0)
-            chi_new = jax.lax.psum(chi_new, names)
+            chi_new = jax.lax.psum(robust_chi2(work, cand), names)
             chi_new = jnp.where(ok, chi_new, jnp.inf)
 
             scale = _tree_dot(dx, jax.tree_util.tree_map(
