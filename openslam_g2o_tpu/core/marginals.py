@@ -25,9 +25,10 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from openslam_g2o_tpu.core.problem import (
-    Problem, build_dense_system, tangent_masks)
+    Problem, build_dense_system, linearize, tangent_masks)
 
-__all__ = ["compute_marginals", "compute_marginals_all_diagonal"]
+__all__ = ["compute_marginals", "compute_marginals_all_diagonal",
+           "compute_marginals_schur"]
 
 
 def _vertex_slices(problem: Problem, graph, vertex_ids):
@@ -47,14 +48,30 @@ def _vertex_slices(problem: Problem, graph, vertex_ids):
     return out
 
 
-def compute_marginals(problem: Problem, graph, vertex_ids: Sequence[int]):
+def compute_marginals(problem: Problem, graph, vertex_ids: Sequence[int],
+                      method: str = "auto"):
     """Covariance blocks of the requested vertices (diagonal blocks of H^-1
     restricted to their tangent dims). Returns {vertex_id: np[D, D]}.
 
     Equivalent to computeMarginals with per-vertex block indices
     (sparse_optimizer.h:131-160); fixed vertices get zero covariance (they
     are not in the reference's index mapping at all).
+
+    method: "auto" routes problems with a marginalized (landmark) group
+    through the Schur path — the dense H of a BA problem would not fit in
+    HBM; "dense" forces the full-H Cholesky.
     """
+    if method == "auto" and problem.static.pose_dim < problem.static.total_dim:
+        diag = compute_marginals_schur(problem)
+        order: dict = {}
+        for vid, rec in graph.vertices.items():
+            order.setdefault(rec.vtype.name, []).append(vid)
+        local = {}
+        for name, vids in order.items():
+            for i, vid in enumerate(vids):
+                local[vid] = (name, i)
+        return {vid: np.asarray(diag[local[vid][0]][local[vid][1]])
+                for vid in vertex_ids}
     H, _, _ = build_dense_system(problem)
     L = jnp.linalg.cholesky(H)
     slices = _vertex_slices(problem, graph, vertex_ids)
@@ -77,6 +94,140 @@ def compute_marginals(problem: Problem, graph, vertex_ids: Sequence[int]):
         out[vid] = np.asarray(blk)
         pos += d
     return out
+
+
+def _pair_tiles(K: int, tile: int = 32):
+    """Static (k0, k1) tile pairs covering the [K, K] neighbor-pair square —
+    bounds peak memory of the L x K x K block tensors at BA scale."""
+    starts = list(range(0, K, tile))
+    return [(a, min(a + tile, K)) for a in starts]
+
+
+def compute_marginals_schur(problem: Problem, pattern=None):
+    """All per-vertex diagonal covariance blocks at BA scale WITHOUT the
+    dense H: {group: [N, D, D]}.
+
+    The Schur-path identity the reference exploits through its factor
+    recursion (marginal_covariance_cholesky.h:50-103), here in block form:
+    with H = [[Hpp, W], [W^T, Hll]] and S = Hpp - W Hll^-1 W^T,
+
+        Cov_pp      = S^-1                       (reduced pose system)
+        Cov_ll(j)   = Hll_j^-1 + Hll_j^-1 B_j^T S^-1 B_j Hll_j^-1
+
+    where B_j = W[:, j] has nonzero blocks only at the cameras observing
+    landmark j — exactly the landmark-major ELL rows of core/ba_ell.py, so S
+    assembly and the landmark correction are K x K neighbor-pair einsums, no
+    global landmark inverse. S itself is dense [Tp, Tp] (pose tangent dims),
+    the object the reference also factorizes; its MXU Cholesky replaces
+    CHOLMOD. Fixed vertices get zero covariance (hessianIndex == -1
+    semantics, sparse_optimizer.cpp:177-188).
+    """
+    from openslam_g2o_tpu.core.ba_ell import (
+        _build, build_ba_ell_pattern)
+    from openslam_g2o_tpu.core.solvers import batched_small_inv
+
+    if pattern is None:
+        pattern = build_ba_ell_pattern(problem)
+    dt = problem.dtype
+    lin = linearize(problem)
+    sys = _build(problem, pattern, lin)
+    L, dl, Tp = sys["L"], sys["dl"], sys["Tp"]
+    lg = problem.static.vgroup(pattern.lm_name)
+    free_l = problem.free[lg.name]
+    eye_l = jnp.eye(dl, dtype=dt)
+    # undamped; fixed landmarks carry identity blocks (their W rows are
+    # already masked to zero by linearize)
+    Hll_d = sys["Hll"] + (1.0 - free_l)[:, None, None] * eye_l
+    Hinv = batched_small_inv(Hll_d)
+
+    pose_groups = [g for g in problem.static.vgroups
+                   if g.offset < problem.static.pose_dim]
+
+    # ---- dense reduced system S over the pose tangent block -------------
+    S = jnp.zeros((Tp, Tp), dtype=dt)
+    for g in pose_groups:
+        D = g.tangent_dim
+        base = sys["groups"].get(g.name, {"Hcc": jnp.zeros(
+            (g.count, D, D), dt)})["Hcc"]
+        f = problem.free[g.name]
+        blocks = base * f[:, None, None] \
+            + (1.0 - f)[:, None, None] * jnp.eye(D, dtype=dt)[None]
+        gidx = (g.offset + jnp.arange(g.count)[:, None] * D
+                + jnp.arange(D)[None, :])
+        S = S.at[gidx[:, :, None], gidx[:, None, :]].add(blocks)
+    if sys["has_extra"]:
+        S = S + sys["Hpp_extra"]
+
+    def cam_offsets(pg):
+        g = problem.static.vgroup(pg.cam_group)
+        return g.offset, g.tangent_dim
+
+    # subtract W Hll^-1 W^T, tiled over landmark-major neighbor pairs
+    for pd in sys["proj"]:
+        pg = pd["pg"]
+        off, Dp = cam_offsets(pg)
+        W_lm = _gather_w_flat(problem, lin, pg)        # [L, K, Dp, dl]
+        K = W_lm.shape[1]
+        for (a0, a1) in _pair_tiles(K):
+            Wa = jnp.einsum("lkst,ltu->lksu", W_lm[:, a0:a1], Hinv)
+            ca = pg.lm_cam[:, a0:a1]
+            for (b0, b1) in _pair_tiles(K):
+                T = jnp.einsum("lksu,lmvu->lkmsv", Wa, W_lm[:, b0:b1])
+                cb = pg.lm_cam[:, b0:b1]
+                rows = (off + ca[:, :, None] * Dp)[..., None, None] \
+                    + jnp.arange(Dp)[None, None, None, :, None]
+                cols = (off + cb[:, None, :] * Dp)[..., None, None] \
+                    + jnp.arange(Dp)[None, None, None, None, :]
+                S = S.at[rows, cols].add(-T)
+
+    # ---- Cov_pp = S^-1 ---------------------------------------------------
+    Lchol = jnp.linalg.cholesky(S)
+    Sinv = solve_triangular(
+        Lchol.T, solve_triangular(Lchol, jnp.eye(Tp, dtype=dt), lower=True),
+        lower=False)
+
+    out = {}
+    for g in pose_groups:
+        D = g.tangent_dim
+        gidx = (g.offset + jnp.arange(g.count)[:, None] * D
+                + jnp.arange(D)[None, :])
+        f = problem.free[g.name]
+        out[g.name] = Sinv[gidx[:, :, None], gidx[:, None, :]] \
+            * f[:, None, None]
+
+    # ---- Cov_ll diagonal via back-substitution ---------------------------
+    corr = jnp.zeros((L, dl, dl), dtype=dt)
+    for pd in sys["proj"]:
+        pg = pd["pg"]
+        off, Dp = cam_offsets(pg)
+        W_lm = _gather_w_flat(problem, lin, pg)
+        K = W_lm.shape[1]
+        for (a0, a1) in _pair_tiles(K):
+            ca = pg.lm_cam[:, a0:a1]
+            for (b0, b1) in _pair_tiles(K):
+                cb = pg.lm_cam[:, b0:b1]
+                rows = (off + ca[:, :, None] * Dp)[..., None, None] \
+                    + jnp.arange(Dp)[None, None, None, :, None]
+                cols = (off + cb[:, None, :] * Dp)[..., None, None] \
+                    + jnp.arange(Dp)[None, None, None, None, :]
+                cov_blk = Sinv[rows, cols]             # [L, ka, kb, Dp, Dp]
+                corr = corr + jnp.einsum(
+                    "lkst,lkmsv,lmvu->ltu",
+                    W_lm[:, a0:a1], cov_blk, W_lm[:, b0:b1])
+    cov_l = Hinv + jnp.einsum("lst,ltu,luv->lsv", Hinv, corr, Hinv)
+    out[pattern.lm_name] = cov_l * free_l[:, None, None]
+    return out
+
+
+def _gather_w_flat(problem: Problem, lin: dict, pg):
+    """[L, K_l, Dp, dl] landmark-major coupling blocks W = Jc^T W_omega Jl,
+    masked on padding slots (the ba_ell W_lm layout, flat form)."""
+    ea = problem.edges[pg.egkey]
+    resid, jacs, w = lin[pg.egkey]
+    w_omega = w[:, None, None] * ea.information
+    Jl, Jc = jacs[pg.lm_slot], jacs[pg.cam_slot]
+    W = jnp.einsum("eas,eab,ebt->est", Jc, w_omega, Jl)   # [E, Dp, dl]
+    return W[pg.lm_edge_idx] * pg.lm_mask[:, :, None, None]
 
 
 def compute_marginals_all_diagonal(problem: Problem):
