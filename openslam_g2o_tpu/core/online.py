@@ -12,11 +12,19 @@ is recompilation when array shapes change. So the TPU design is:
 
 * array shapes are padded to power-of-two buckets -> O(log N) compilations
   over the whole session, everything else hits the jit cache,
+* the device tables are maintained INCREMENTALLY in capacity-doubling numpy
+  buffers (append = one row write); each SOLVE slices the current bucket and
+  ships it — no per-vertex Python restacking, so the host cost per solve is
+  O(padding memset + transfer), not O(N) object traversal,
 * each SOLVE is a warm start from the current estimates (the reference's
   online variant also re-solves from the current state),
 * new vertices are initialized from their first edge via the spanning-tree
   rule (initialEstimate), matching G2OSlamInterface::addEdge
   (g2o_slam_interface.cpp).
+
+Vertices/edges are append-only (exactly the reference protocol's ADD
+vocabulary, g2o_interactive/protocol.txt); use the batch Graph API for
+graph surgery.
 """
 from __future__ import annotations
 
@@ -26,6 +34,7 @@ import numpy as np
 
 from openslam_g2o_tpu.core.graph import Graph
 from openslam_g2o_tpu.core import problem as P
+from openslam_g2o_tpu.core import registry, robust
 from openslam_g2o_tpu.core.algorithms import GaussNewton, optimize
 
 __all__ = ["OnlineOptimizer", "bucket_pow2"]
@@ -37,6 +46,78 @@ def bucket_pow2(n: int, minimum: int = 64) -> int:
     while b < n:
         b *= 2
     return b
+
+
+class _VGroupBuf:
+    """Capacity-doubling vertex table for one type."""
+
+    def __init__(self, vt: registry.VertexType, cap: int):
+        self.vt = vt
+        self.n = 0
+        self.origin = np.asarray(vt.origin(np.float64), dtype=np.float64)
+        self.params = np.empty((cap, vt.ambient_dim))
+        self.free = np.empty((cap,))
+
+    def _grow(self, cap):
+        if cap <= len(self.params):
+            return
+        self.params = np.concatenate(
+            [self.params, np.empty((cap - len(self.params),
+                                    self.params.shape[1]))])
+        self.free = np.concatenate(
+            [self.free, np.empty((cap - len(self.free),))])
+
+    def append(self, params, fixed: bool) -> int:
+        i = self.n
+        self._grow(bucket_pow2(i + 1, len(self.params)))
+        self.params[i] = params
+        self.free[i] = 0.0 if fixed else 1.0
+        self.n += 1
+        return i
+
+
+class _EGroupBuf:
+    """Capacity-doubling edge table for one (type, kernel) group."""
+
+    def __init__(self, et: registry.EdgeType, kernel_id: int, cap: int):
+        self.et = et
+        self.kernel_id = kernel_id
+        self.n = 0
+        k = et.num_vertices
+        self.idx = [np.empty((cap,), dtype=np.int32) for _ in range(k)]
+        self.meas = np.empty((cap, et.measurement_dim))
+        self.info = np.empty((cap, et.error_dim, et.error_dim))
+        self.delta = np.empty((cap,))
+        self.pdata = [None] * len(et.param_types)   # lazily sized
+
+    def _grow(self, cap):
+        if cap <= len(self.meas):
+            return
+        extra = cap - len(self.meas)
+        self.idx = [np.concatenate([c, np.empty((extra,), dtype=np.int32)])
+                    for c in self.idx]
+        self.meas = np.concatenate(
+            [self.meas, np.empty((extra, self.meas.shape[1]))])
+        self.info = np.concatenate(
+            [self.info, np.empty((extra,) + self.info.shape[1:])])
+        self.delta = np.concatenate([self.delta, np.empty((extra,))])
+        self.pdata = [None if p is None else np.concatenate(
+            [p, np.empty((extra, p.shape[1]))]) for p in self.pdata]
+
+    def append(self, local_idx, meas, info, delta, pdata_rows) -> int:
+        i = self.n
+        self._grow(bucket_pow2(i + 1, len(self.meas)))
+        for s, li in enumerate(local_idx):
+            self.idx[s][i] = li
+        self.meas[i] = meas
+        self.info[i] = info
+        self.delta[i] = delta
+        for ps, row in enumerate(pdata_rows):
+            if self.pdata[ps] is None:
+                self.pdata[ps] = np.empty((len(self.meas), len(row)))
+            self.pdata[ps][i] = row
+        self.n += 1
+        return i
 
 
 class OnlineOptimizer:
@@ -52,72 +133,190 @@ class OnlineOptimizer:
 
     def __init__(self, algorithm=None, iterations_per_solve: int = 3,
                  dtype=None, bucket=bucket_pow2):
-        self.graph = Graph()
+        self._graph = Graph()
         self.algorithm = algorithm or GaussNewton()
         self.iterations = iterations_per_solve
         self.dtype = dtype
         self.bucket = bucket
+        self._vbufs: dict[str, _VGroupBuf] = {}
+        self._ebufs: dict[str, _EGroupBuf] = {}
+        self._local: dict[int, tuple] = {}      # vid -> (group name, row)
+        self._graph_dirty = False
         self._solves = 0
+        self._last_static = None
         self._compiles = 0
+
+    # -- graph views --------------------------------------------------------
+
+    @property
+    def graph(self) -> Graph:
+        """The host Graph, with estimates synced from the device tables."""
+        self._sync_graph()
+        return self._graph
+
+    def _sync_graph(self):
+        if not self._graph_dirty:
+            return
+        for vid, (gname, i) in self._local.items():
+            # copy: the buffer row may be reallocated on growth
+            self._graph.vertices[vid].params = self._vbufs[gname].params[i].copy()
+        self._graph_dirty = False
 
     # -- graph construction ------------------------------------------------
 
     def add_vertex(self, vid: int, type_name: str, params=None):
-        from openslam_g2o_tpu.core import registry
         vt = registry.vertex_type(type_name)
         if params is None:
             params = np.asarray(vt.origin(np.float64))
-        self.graph.add_vertex(vid, type_name, params)
+        rec = self._graph.add_vertex(vid, type_name, params)
+        buf = self._vbufs.get(type_name)
+        if buf is None:
+            buf = self._vbufs[type_name] = _VGroupBuf(vt, 64)
+        self._local[vid] = (type_name, buf.append(rec.params, rec.fixed))
+        return rec
+
+    def _params_of(self, vid: int) -> np.ndarray:
+        gname, i = self._local[vid]
+        return self._vbufs[gname].params[i]
+
+    def _set_params(self, vid: int, value):
+        gname, i = self._local[vid]
+        self._vbufs[gname].params[i] = value
+        self._graph.vertices[vid].params = self._vbufs[gname].params[i].copy()
 
     def add_edge(self, type_name: str, vertex_ids, measurement, information,
                  **kw):
         """Add an edge; endpoints that exist but were never initialized are
         re-initialized from the edge measurement when possible (the
         G2OSlamInterface behavior: odometry edges chain the trajectory)."""
-        from openslam_g2o_tpu.core import registry
         et = registry.edge_type(type_name)
-        rec = self.graph.add_edge(type_name, vertex_ids, measurement,
-                                  information, **kw)
+        rec = self._graph.add_edge(type_name, vertex_ids, measurement,
+                                   information, **kw)
         if et.initial_estimate is not None and et.num_vertices == 2:
-            v0 = self.graph.vertices[vertex_ids[0]]
-            v1 = self.graph.vertices[vertex_ids[1]]
-            origin1 = np.asarray(v1.vtype.origin(np.float64))
-            if np.array_equal(v1.params, origin1) and not np.array_equal(
-                    v0.params, np.asarray(v0.vtype.origin(np.float64))):
+            v0p = self._params_of(vertex_ids[0])
+            v1p = self._params_of(vertex_ids[1])
+            vt1 = self._graph.vertices[vertex_ids[1]].vtype
+            vt0 = self._graph.vertices[vertex_ids[0]].vtype
+            origin1 = np.asarray(vt1.origin(np.float64))
+            if np.array_equal(v1p, origin1) and not np.array_equal(
+                    v0p, np.asarray(vt0.origin(np.float64))):
                 est = et.initial_estimate(
-                    (v0.params, v1.params), rec.measurement,
-                    tuple(self.graph.parameters[p][1] for p in rec.param_ids), 1)
+                    (v0p, v1p), rec.measurement,
+                    tuple(self._graph.parameters[p][1] for p in rec.param_ids),
+                    1)
                 if est is not None:
-                    v1.params = np.asarray(est)
+                    self._set_params(vertex_ids[1], np.asarray(est))
+        kid = robust.kernel_id(rec.kernel)
+        key = type_name if kid == robust.NONE_ID \
+            else f"{type_name}#{robust.kernel_names()[kid]}"
+        buf = self._ebufs.get(key)
+        if buf is None:
+            buf = self._ebufs[key] = _EGroupBuf(et, kid, 64)
+        buf.append([self._local[v][1] for v in rec.vertex_ids],
+                   rec.measurement, rec.information, rec.kernel_delta,
+                   [self._graph.parameters[p][1] for p in rec.param_ids])
         return rec
 
+    def add_parameter(self, pid: int, type_name: str, value):
+        self._graph.add_parameter(pid, type_name, value)
+
     def fix(self, vid: int):
-        self.graph.set_fixed(vid, True)
+        self._graph.set_fixed(vid, True)
+        gname, i = self._local[vid]
+        self._vbufs[gname].free[i] = 0.0
+
+    # -- device problem from the incremental buffers ------------------------
+
+    def _build_problem(self) -> P.Problem:
+        import jax.numpy as jnp
+
+        dtype = self.dtype
+        if dtype is None:
+            dtype = jnp.zeros((), jnp.float64).dtype
+        # poses-first group order (buildIndexMapping invariant,
+        # sparse_optimizer.cpp:166-190), stable in first-seen order
+        names = sorted(self._vbufs, key=lambda n: self._vbufs[n].vt.marginalizable)
+        vgroups = []
+        params = {}
+        free = {}
+        offset = 0
+        pose_dim = 0
+        for name in names:
+            buf = self._vbufs[name]
+            cap = self.bucket(buf.n)
+            buf._grow(cap)
+            # padding rows: fixed at the origin, so they contribute nothing
+            buf.params[buf.n:cap] = buf.origin
+            buf.free[buf.n:cap] = 0.0
+            params[name] = jnp.asarray(buf.params[:cap], dtype=dtype)
+            free[name] = jnp.asarray(buf.free[:cap], dtype=dtype)
+            vgroups.append(P.VGroup(name, buf.vt, cap, offset))
+            offset += cap * buf.vt.tangent_dim
+            if not buf.vt.marginalizable:
+                pose_dim = offset
+        egroups = []
+        edges = {}
+        for key, buf in self._ebufs.items():
+            cap = self.bucket(buf.n)
+            buf._grow(cap)
+            # padding edges: zero information, measurement/pdata repeat row 0
+            # (a VALID row keeps error kernels finite — problem.py semantics)
+            buf.meas[buf.n:cap] = buf.meas[0]
+            buf.info[buf.n:cap] = 0.0
+            buf.delta[buf.n:cap] = 1.0
+            for c in buf.idx:
+                c[buf.n:cap] = 0
+            pdata = []
+            for p in buf.pdata:
+                p[buf.n:cap] = p[0]
+                pdata.append(jnp.asarray(p[:cap], dtype=dtype))
+            edges[key] = P.EdgeArrays(
+                tuple(jnp.asarray(c[:cap]) for c in buf.idx),
+                jnp.asarray(buf.meas[:cap], dtype=dtype),
+                jnp.asarray(buf.info[:cap], dtype=dtype),
+                jnp.asarray(buf.delta[:cap], dtype=dtype),
+                tuple(pdata))
+            egroups.append(P.EGroup(key, buf.et, buf.kernel_id, cap))
+        static = P.ProblemStatic(tuple(vgroups), tuple(egroups), offset,
+                                 pose_dim if pose_dim else offset)
+        return P.Problem(params, free, edges, static)
 
     # -- solving -----------------------------------------------------------
 
     def solve(self, iterations: Optional[int] = None):
         """Re-linearize and run a few iterations, warm-started from the
-        current estimates; writes the result back into the graph."""
-        if self.graph.num_edges() == 0:
+        current estimates; result lands back in the incremental tables."""
+        if not self._ebufs:
             return []
-        if not self.graph.any_fixed():
-            self.graph.set_fixed(next(iter(self.graph.vertices)), True)
-        # bucketed padding keeps array shapes stable -> jit cache hits
-        prob = P.build_problem(self.graph, dtype=self.dtype,
-                               pad_counts=self.bucket)
+        if not any(buf.free[:buf.n].min() == 0.0
+                   for buf in self._vbufs.values() if buf.n):
+            self.fix(next(iter(self._graph.vertices)))
+        prob = self._build_problem()
+        if prob.static != self._last_static:
+            self._compiles += 1
+            self._last_static = prob.static
         out, stats = optimize(prob, self.algorithm,
                               iterations=iterations or self.iterations)
-        P.write_back(out, self.graph)
+        for name, buf in self._vbufs.items():
+            buf.params[:buf.n] = np.asarray(out.params[name])[:buf.n]
+        self._graph_dirty = True
         self._solves += 1
         return stats
 
     # -- queries -----------------------------------------------------------
 
     def estimate(self, vid: int):
-        return self.graph.vertices[vid].params
+        return self._params_of(vid)
 
     def estimates(self, vids=None):
         if vids is None:
-            vids = sorted(self.graph.vertices)
-        return {vid: self.graph.vertices[vid].params for vid in vids}
+            vids = sorted(self._graph.vertices)
+        return {vid: self._params_of(vid) for vid in vids}
+
+    def session_stats(self):
+        """Throughput counters (the incremental perf evidence the reference
+        carries in its stats output, graph_optimizer_sparse_incremental.cpp)."""
+        return {"solves": self._solves,
+                "shape_buckets_compiled": self._compiles,
+                "vertices": len(self._local),
+                "edges": sum(b.n for b in self._ebufs.values())}

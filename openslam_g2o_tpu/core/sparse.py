@@ -4,17 +4,29 @@ The reference stores the Hessian as column maps of heap blocks
 (SparseBlockMatrix, g2o/core/sparse_block_matrix.h:61-225) and converts to
 scalar CCS for CSparse/CHOLMOD. Neither maps to TPU: pointer-chasing and
 scalar CCS SpMV are serial, and TPU scatters are slow. Instead we use a
-block ELLPACK layout per (row-group, col-group) pair:
+block ELLPACK layout per (row-group, col-group) pair, held LANE-MAJOR:
 
-    values:  [N_rows, K, D_row, D_col]   (K = max block-neighbors, padded)
-    nb_idx:  [N_rows, K] int32           (column vertex local index; padding
-                                          points at vertex 0 with zero value)
+    values:  [D_row * D_col, N_rows, K]   (K = max block-neighbors, padded)
+    nb_idx:  [N_rows, K] int32            (column vertex local index; padding
+                                           points at vertex 0 with zero value)
 
-* Assembly: one scatter-add per (edge-group, slot-pair) per LM iteration —
-  the positions are precomputed host-side from the graph topology.
-* SpMV (the PCG hot loop): per group pair, ONE gather + ONE einsum +
-  contraction over K — no scatter at all. This is what makes matrix-free
-  PCG fast on TPU where the reference relies on CHOLMOD's factorization.
+Why lane-major: TPU gathers are fast along the minor (lane) axis and slow
+along sublanes. Profiling on a v5e (Manhattan3500) showed the row-major
+matvec — gather of [N, D] rows + a batched [N, K, D, D] x [N, K, D] einsum —
+costing 84 us/iteration for ~2 us of actual HBM traffic: the row gather hits
+the sublane path and the tiny batched einsum tiles hopelessly on the MXU.
+The lane-major form makes the SpMV gather a [D, N] take along lanes and the
+contraction a pure VPU multiply + K-axis reduce.
+
+* Assembly is also scatter-free: every (edge, slot-pair) contribution gets a
+  host-precomputed DESTINATION-major contributor table [N*K, M] (M = max
+  contributions per block, i.e. the vertex degree on diagonal slots), so
+  accumulation is one lane gather + masked sum — the same trick the dual-ELL
+  BA solver uses (core/ba_ell.py), replacing a 1.3 ms XLA scatter with a
+  ~100 us gather at Manhattan scale.
+* Small batched matrix products (J^T W J etc.) are expanded to elementwise
+  multiply + reduce (`bmm_small`) instead of einsum: XLA lowers batched
+  3x3 dots to MXU calls at ~1% utilization.
 
 The same layout is the natural input for a future Pallas block-SpMV kernel.
 """
@@ -28,12 +40,32 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec"]
+__all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec",
+           "bmm_small"]
+
+# Above this many int32 entries in one contributor table, fall back to the
+# scatter assembly (a pathological hub vertex would otherwise explode the
+# dest-major table; bundled pose graphs are orders of magnitude below this).
+_CONTRIB_TABLE_LIMIT = 50_000_000
+
+
+def bmm_small(A, B):
+    """Batched matmul for small trailing dims via elementwise multiply +
+    reduce: C[..., i, j] = sum_k A[..., i, k] B[..., k, j]. On TPU this runs
+    on the VPU; einsum would issue per-batch MXU dots at ~1% utilization."""
+    return (A[..., :, :, None] * B[..., None, :, :]).sum(axis=-2)
+
+
+def bmv_small(A, v):
+    """Batched matrix-vector product: y[..., i] = sum_k A[..., i, k] v[..., k]."""
+    return (A * v[..., None, :]).sum(axis=-1)
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["nb_idx", "positions"],
-         meta_fields=["pairs", "K", "pair_of"])
+         data_fields=["nb_idx", "positions", "contrib_idx", "contrib_mask",
+                      "b_idx", "b_mask"],
+         meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
+                      "b_sources"])
 @dataclass
 class EllPattern:
     """Static-topology ELL pattern for the whole block Hessian.
@@ -41,34 +73,52 @@ class EllPattern:
     pairs: tuple of (row_group, col_group) names, one per ELL table.
     K: tuple of neighbor counts per table.
     nb_idx: tuple of [N_row, K] int32 neighbor tables.
-    positions: dict (egroup_key, s, t) -> [E] int32 neighbor-slot positions.
+    positions: dict (egroup_key, s, t) -> [E] int32 neighbor-slot positions
+        (used by the scatter fallback and the distributed assembly path).
     pair_of: tuple of ((egroup_key, s, t), pair_table_id) — static routing.
+    contrib_idx/mask: per pair, dest-major contributor tables
+        [N*K, M] int32 / float mask into the concatenated per-edge block
+        stream of that pair (None -> scatter fallback).
+    b_idx/mask: per vertex group, [N, Mb] contributor tables into the
+        concatenated per-edge b-block stream of that group.
+    b_sources: dict group -> tuple of (egroup_key, slot) in stream order.
     """
     nb_idx: tuple
     positions: dict
+    contrib_idx: tuple
+    contrib_mask: tuple
+    b_idx: dict
+    b_mask: dict
     pairs: tuple
     K: tuple
     pair_of: tuple
+    contrib_m: tuple
+    b_m: dict
+    b_sources: dict
 
     def pair_table(self, key):
         return dict(self.pair_of)[key]
 
     def diag_blocks(self, problem, values):
-        """Extract the [N, D, D] diagonal blocks per group from the ELL
-        tables (the self-neighbor slot) — no extra assembly pass needed."""
+        """Extract the [N, D, D] diagonal blocks per group from the
+        lane-major ELL tables (the self-neighbor slot) — no extra assembly
+        pass needed."""
         out = {}
         for pid, (rg_name, cg_name) in enumerate(self.pairs):
             if rg_name != cg_name:
                 continue
             g = problem.static.vgroup(rg_name)
+            D = g.tangent_dim
             nb = self.nb_idx[pid]                       # [N, K]
             rows = jnp.arange(g.count, dtype=jnp.int32)
             is_self = nb == rows[:, None]
             # slot of the self neighbor (0 if the row has no edges — its
             # value block is zero there, which is the correct empty diagonal)
             slot = jnp.argmax(is_self, axis=1)
-            out[rg_name] = values[pid][rows, slot] * jnp.any(
-                is_self, axis=1)[:, None, None]
+            v = values[pid]                             # [D*D, N, K]
+            blk = jnp.take_along_axis(v, slot[None, :, None], axis=2)[..., 0]
+            blk = jnp.moveaxis(blk, 0, 1).reshape(g.count, D, D)
+            out[rg_name] = blk * jnp.any(is_self, axis=1)[:, None, None]
         for g in problem.static.vgroups:
             if g.name not in out:
                 out[g.name] = jnp.zeros(
@@ -77,8 +127,28 @@ class EllPattern:
         return out
 
 
+def _contrib_tables(dest, n_dest):
+    """Sorted contributor ELL: [n_dest, M] indices into the contribution
+    stream + mask. None if the table would exceed the size limit."""
+    counts = np.bincount(dest, minlength=n_dest)
+    M = max(int(counts.max()) if len(dest) else 1, 1)
+    if n_dest * M > _CONTRIB_TABLE_LIMIT:
+        return None, None, M
+    order = np.argsort(dest, kind="stable").astype(np.int32)
+    tbl = np.zeros((n_dest, M), dtype=np.int32)
+    mask = np.zeros((n_dest, M), dtype=np.float32)
+    starts = np.zeros(n_dest + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    # column index of each sorted contribution within its destination row
+    col = np.arange(len(dest), dtype=np.int64) - starts[dest[order]]
+    tbl[dest[order], col] = order
+    mask[dest[order], col] = 1.0
+    return tbl, mask, M
+
+
 def build_ell_pattern(problem) -> EllPattern:
-    """Host-side: walk the edge tables once and lay out neighbor slots.
+    """Host-side symbolic phase: walk the edge tables once and lay out
+    neighbor slots AND destination-major contributor tables.
 
     Every (edge, ordered slot pair (s, t)) contribution, including the
     diagonal (s, s), gets a fixed (row_vertex, neighbor_slot) position in the
@@ -114,6 +184,9 @@ def build_ell_pattern(problem) -> EllPattern:
     nb_idx = []
     Ks = []
     positions = {}
+    contrib_idx = []
+    contrib_mask = []
+    contrib_m = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -134,65 +207,149 @@ def build_ell_pattern(problem) -> EllPattern:
         tbl[u_rows, slot_of_unique] = u_cols
         nb_idx.append(jnp.asarray(tbl))
         Ks.append(K)
-        pos_all = slot_of_unique[inverse].astype(np.int32)
+        pos_all = slot_of_unique[inverse].astype(np.int64)
         off = 0
         for egkey, s, t, rows, _ in contribs:
             n = len(rows)
-            positions[(egkey, s, t)] = jnp.asarray(pos_all[off:off + n])
+            positions[(egkey, s, t)] = jnp.asarray(
+                pos_all[off:off + n].astype(np.int32))
             off += n
+        dest = (all_rows * K + pos_all).astype(np.int64)
+        ci, cm, M = _contrib_tables(dest, rg.count * K)
+        contrib_idx.append(None if ci is None else jnp.asarray(ci))
+        contrib_mask.append(None if cm is None else jnp.asarray(cm))
+        contrib_m.append(M)
 
-    return EllPattern(tuple(nb_idx), positions, tuple(pair_names), tuple(Ks),
-                      tuple(pair_of))
+    # b contributor tables, one stream per vertex group
+    b_idx = {}
+    b_mask = {}
+    b_m = {}
+    b_sources = {}
+    streams: dict = {}
+    for eg in problem.static.egroups:
+        ea = problem.edges[eg.key]
+        for s in range(eg.etype.num_vertices):
+            gname = eg.slots[s]
+            streams.setdefault(gname, []).append(
+                (eg.key, s, np.asarray(ea.indices[s]).astype(np.int64)))
+    for g in problem.static.vgroups:
+        src = streams.get(g.name, [])
+        b_sources[g.name] = tuple((k, s) for k, s, _ in src)
+        if not src:
+            b_idx[g.name] = None
+            b_mask[g.name] = None
+            b_m[g.name] = 1
+            continue
+        dest = np.concatenate([rows for _, _, rows in src])
+        ci, cm, M = _contrib_tables(dest, g.count)
+        b_idx[g.name] = None if ci is None else jnp.asarray(ci)
+        b_mask[g.name] = None if cm is None else jnp.asarray(cm)
+        b_m[g.name] = M
+
+    return EllPattern(tuple(nb_idx), positions,
+                      tuple(contrib_idx), tuple(contrib_mask), b_idx, b_mask,
+                      tuple(pair_names), tuple(Ks), tuple(pair_of),
+                      tuple(contrib_m), b_m, b_sources)
 
 
-def assemble_ell(problem, pattern: EllPattern, lin: dict):
-    """Scatter per-edge J^T W J blocks into the ELL value tables.
-
-    Returns (values: tuple of [N, K, Dr, Dc], b: dict group -> [N, D]).
-    One scatter per (edge group, slot pair) — outside the PCG loop.
-    """
-    dt = problem.dtype
-    values = []
-    for (rg_name, cg_name), K in zip(pattern.pairs, pattern.K):
-        rg = problem.static.vgroup(rg_name)
-        cg = problem.static.vgroup(cg_name)
-        values.append(jnp.zeros((rg.count, K, rg.tangent_dim, cg.tangent_dim),
-                                dtype=dt))
-
-    b = {g.name: jnp.zeros((g.count, g.tangent_dim), dtype=dt)
-         for g in problem.static.vgroups}
-
+def _edge_blocks(problem, lin):
+    """Per edge group: J_s^T (rho' Omega) J_t blocks and b blocks, all via
+    elementwise batched products (no tiny-dot einsums)."""
+    blocks = {}
+    bvecs = {}
     for eg in problem.static.egroups:
         ea = problem.edges[eg.key]
         resid, jacs, w = lin[eg.key]
         w_omega = w[:, None, None] * ea.information
         k = eg.etype.num_vertices
-        groups = [problem.static.vgroup(g) for g in eg.slots]
+        jw = [bmm_small(jnp.swapaxes(jacs[s], 1, 2), w_omega)
+              for s in range(k)]                       # [E, Ds, D]
         for s in range(k):
-            js_w = jnp.einsum("eas,eab->esb", jacs[s], w_omega)
-            b[groups[s].name] = b[groups[s].name].at[ea.indices[s]].add(
-                -jnp.einsum("esb,eb->es", js_w, resid))
+            bvecs[(eg.key, s)] = -bmv_small(jw[s], resid)
             for t in range(k):
-                blk = jnp.einsum("esb,ebt->est", js_w, jacs[t])
-                pid = pattern.pair_table((eg.key, s, t))
-                pos = pattern.positions[(eg.key, s, t)]
-                values[pid] = values[pid].at[ea.indices[s], pos].add(blk)
+                blocks[(eg.key, s, t)] = bmm_small(jw[s], jacs[t])
+    return blocks, bvecs
+
+
+def assemble_ell(problem, pattern: EllPattern, lin: dict):
+    """Accumulate per-edge J^T W J blocks into the lane-major ELL tables.
+
+    Returns (values: tuple of [Dr*Dc, N, K], b: dict group -> [N, D]).
+    Gather + masked-sum against the host-precomputed contributor tables —
+    no scatter anywhere (scatter fallback only past _CONTRIB_TABLE_LIMIT).
+    """
+    dt = problem.dtype
+    blocks, bvecs = _edge_blocks(problem, lin)
+
+    values = []
+    for pid, ((rg_name, cg_name), K) in enumerate(zip(pattern.pairs,
+                                                      pattern.K)):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        srcs = [key for key, p in pattern.pair_of if p == pid]
+        if pattern.contrib_idx[pid] is not None:
+            # lane-major contribution stream [Dr*Dc, E_total]
+            stream = jnp.concatenate(
+                [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
+            g = jnp.take(stream, pattern.contrib_idx[pid].reshape(-1), axis=1)
+            g = g.reshape(Dr * Dc, rg.count * K, pattern.contrib_m[pid])
+            v = (g * pattern.contrib_mask[pid].astype(dt)[None]).sum(axis=2)
+            values.append(v.reshape(Dr * Dc, rg.count, K))
+        else:
+            v = jnp.zeros((rg.count, K, Dr, Dc), dtype=dt)
+            for key in srcs:
+                egkey, s, t = key
+                ea = problem.edges[egkey]
+                v = v.at[ea.indices[s], pattern.positions[key]].add(
+                    blocks[key])
+            values.append(jnp.moveaxis(v.reshape(rg.count, K, Dr * Dc),
+                                       2, 0))
+
+    b = {}
+    for g in problem.static.vgroups:
+        D = g.tangent_dim
+        srcs = pattern.b_sources.get(g.name, ())
+        if not srcs:
+            b[g.name] = jnp.zeros((g.count, D), dtype=dt)
+            continue
+        if pattern.b_idx[g.name] is not None:
+            stream = jnp.concatenate([bvecs[key].T for key in srcs], axis=1)
+            gt = jnp.take(stream, pattern.b_idx[g.name].reshape(-1), axis=1)
+            gt = gt.reshape(D, g.count, pattern.b_m[g.name])
+            bsum = (gt * pattern.b_mask[g.name].astype(dt)[None]).sum(axis=2)
+            b[g.name] = bsum.T
+        else:
+            acc = jnp.zeros((g.count, D), dtype=dt)
+            for (egkey, s) in srcs:
+                ea = problem.edges[egkey]
+                acc = acc.at[ea.indices[s]].add(bvecs[(egkey, s)])
+            b[g.name] = acc
     return tuple(values), b
 
 
 def ell_matvec(problem, pattern: EllPattern, values, x: dict,
                extra_diag: dict = None):
-    """y = H x on per-group part dicts — only gathers/einsums, the PCG hot
-    loop on TPU (scatters would serialize it).
+    """y = H x on per-group part dicts — one lane gather + VPU multiply-reduce
+    per pair table; the PCG hot loop on TPU (84 us -> ~unit-us scale vs the
+    row-major gather + batched-einsum form on Manhattan3500, v5e).
 
     extra_diag: optional dict group -> [N, D] added elementwise (damping +
     fixed-slot identity), fused here.
     """
-    y = {g.name: jnp.zeros((g.count, g.tangent_dim), dtype=problem.dtype)
-         for g in problem.static.vgroups}
+    yT = {g.name: jnp.zeros((g.tangent_dim, g.count), dtype=problem.dtype)
+          for g in problem.static.vgroups}
+    xT = {name: v.T for name, v in x.items()}           # [D, N], lane-major
     for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
-        xg = x[cg_name][pattern.nb_idx[pid]]           # [N, K, Dc]  (gather)
-        y[rg_name] = y[rg_name] + jnp.einsum("nkst,nkt->ns", values[pid], xg)
+        K = pattern.K[pid]
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        xg = jnp.take(xT[cg_name], pattern.nb_idx[pid].reshape(-1), axis=1)
+        xg = xg.reshape(Dc, rg.count, K)                 # lane gather
+        V = values[pid].reshape(Dr, Dc, rg.count, K)
+        yT[rg_name] = yT[rg_name] + (V * xg[None]).sum(axis=(1, 3))
+    y = {name: v.T for name, v in yT.items()}
     if extra_diag is not None:
         y = {k: y[k] + extra_diag[k] * x[k] for k in y}
     return y

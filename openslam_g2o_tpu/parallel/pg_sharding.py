@@ -104,6 +104,15 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
     padded = pad_problem_vertices(problem, n_rows)
     padded = pad_problem_edges(padded, n_dev)
     pattern = build_ell_pattern(padded)
+    # edges are sharded here, so the dest-major contributor tables (which
+    # index the GLOBAL contribution stream) do not apply: drop them to route
+    # assemble_ell through its shard-local scatter path, reduced by psum.
+    pattern = dataclasses.replace(
+        pattern,
+        contrib_idx=tuple(None for _ in pattern.contrib_idx),
+        contrib_mask=tuple(None for _ in pattern.contrib_mask),
+        b_idx={k: None for k in pattern.b_idx},
+        b_mask={k: None for k in pattern.b_mask})
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes
@@ -151,13 +160,14 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
 
 
         # -- row partition: this host's keyframe block -----------------
+        # (values are lane-major [Dr*Dc, N, K] — rows live on axis 1)
         i_row = jax.lax.axis_index(row_axis)
         values_loc = []
         nb_loc = []
         for pid, (rg_name, _) in enumerate(pattern_local.pairs):
             nr = rows_of[rg_name]
             values_loc.append(jax.lax.dynamic_slice_in_dim(
-                values[pid], i_row * nr, nr, axis=0))
+                values[pid], i_row * nr, nr, axis=1))
             nb_loc.append(jax.lax.dynamic_slice_in_dim(
                 pattern_local.nb_idx[pid], i_row * nr, nr, axis=0))
 
@@ -175,13 +185,23 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
             precond = block_jacobi_preconditioner(work, diag_blocks, lam)
 
             def matvec(x):
-                # row-local SpMV (gather + einsum on the owned block) ...
+                # row-local SpMV (lane gather + VPU reduce on the owned
+                # block, the single-device ell_matvec layout) ...
+                xT = {k: v.T for k, v in x.items()}
                 y_loc = {g.name: jnp.zeros((rows_of[g.name], g.tangent_dim),
                                            dtype=work.dtype) for g in vgroups}
                 for pid, (rg_name, cg_name) in enumerate(pattern_local.pairs):
-                    xg = x[cg_name][nb_loc[pid]]            # [nr, K, Dc]
-                    y_loc[rg_name] = y_loc[rg_name] + jnp.einsum(
-                        "nkst,nkt->ns", values_loc[pid], xg)
+                    nr = rows_of[rg_name]
+                    K = pattern_local.K[pid]
+                    Dr = next(g.tangent_dim for g in vgroups
+                              if g.name == rg_name)
+                    Dc = next(g.tangent_dim for g in vgroups
+                              if g.name == cg_name)
+                    xg = jnp.take(xT[cg_name], nb_loc[pid].reshape(-1),
+                                  axis=1).reshape(Dc, nr, K)
+                    V = values_loc[pid].reshape(Dr, Dc, nr, K)
+                    y_loc[rg_name] = y_loc[rg_name] + \
+                        (V * xg[None]).sum(axis=(1, 3)).T
                 # ... then ONE all_gather over the row axis rebuilds the
                 # replicated full vector (the only PCG-loop collective)
                 y = {k: jax.lax.all_gather(v, row_axis, axis=0, tiled=True)

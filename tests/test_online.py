@@ -173,3 +173,42 @@ class TestProtocol:
         iface = SlamInterface(out=out)
         run_protocol(["BOGUS 1 2 3;", "QUERY_STATE;"], iface)
         assert "BEGIN" in out.getvalue()
+
+
+class TestIncrementalPerf:
+    def test_session_stats_and_bucket_compiles(self):
+        """The builder must reuse jit-cached shapes: growing 0->100 vertices
+        with pow2-64 buckets crosses exactly two bucket shapes (64, 128)."""
+        oo = OnlineOptimizer()
+        info = np.diag([100.0, 100.0, 400.0])
+        oo.add_vertex(0, "se2", [0, 0, 0])
+        oo.fix(0)
+        for i in range(1, 100):
+            oo.add_vertex(i, "se2", None)
+            oo.add_edge("edge_se2", (i - 1, i), [1.0, 0.0, 0.1], info)
+            if i % 10 == 0:
+                oo.solve()
+        st = oo.session_stats()
+        assert st["vertices"] == 100
+        assert st["edges"] == 99
+        assert st["solves"] == 9
+        assert st["shape_buckets_compiled"] == 2   # 64 then 128
+
+    def test_incremental_matches_batch_rebuild(self):
+        """The incrementally-maintained tables must produce the same solution
+        as compiling the synced graph from scratch."""
+        import jax.numpy as jnp
+        oo = OnlineOptimizer(algorithm=LevenbergMarquardt(),
+                             iterations_per_solve=4)
+        info = np.diag([100.0, 100.0, 400.0])
+        oo.add_vertex(0, "se2", [0, 0, 0])
+        oo.fix(0)
+        for i in range(1, 30):
+            oo.add_vertex(i, "se2", None)
+            oo.add_edge("edge_se2", (i - 1, i), [1.0, 0.0, 0.2], info)
+        oo.add_edge("edge_se2", (29, 0), [1.0, 0.0, 0.2], info)
+        oo.solve(iterations=8)
+        batch = oo.graph.compile()      # synced estimates, fresh lowering
+        chi_inc = float(P.robust_chi2(oo._build_problem()))
+        chi_batch = float(P.robust_chi2(batch))
+        np.testing.assert_allclose(chi_inc, chi_batch, rtol=1e-9)
