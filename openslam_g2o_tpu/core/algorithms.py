@@ -166,30 +166,36 @@ class LevenbergMarquardt:
 
 @partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
 def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
-                 max_trials: int = 10, pcg_iters: int = 150,
+                 dx0T=None, max_trials: int = 10, pcg_iters: int = 150,
                  pcg_tol: float = 1e-8):
     """LM iteration solving H dx = b by block-ELL matrix-free PCG.
 
     The Hessian lives in the block-ELL layout (core/sparse.py): assembly is
-    one scatter per slot pair per LM iteration, and each PCG matvec is pure
-    gather+einsum — the structure TPUs want (scatters would serialize the
-    hot loop). The inexact step is safe: the gain-ratio test rejects bad
+    gather-only per LM iteration, and each PCG matvec is pure gather +
+    VPU multiply-reduce — the structure TPUs want (scatters would serialize
+    the hot loop). The inexact step is safe: the gain-ratio test rejects bad
     steps exactly like the reference treats a failed linear solve
     (optimization_algorithm_levenberg.cpp:119-120; PCG backend
     linear_solver_pcg.h:47-110).
+
+    dx0T: optional lane-major warm start (the previous step's accepted dx) —
+    near the basin consecutive Newton systems are close, so warm-started CG
+    reaches much deeper per LM iteration; used by the polish phase. Returns
+    a 7-tuple ending with the accepted step's dxT for threading.
     """
     from openslam_g2o_tpu.core.problem import (
-        apply_update_parts, block_jacobi_preconditioner)
-    from openslam_g2o_tpu.core.sparse import assemble_ell, ell_matvec
+        apply_update_parts, block_jacobi_preconditioner_lane)
+    from openslam_g2o_tpu.core.sparse import (
+        assemble_ell, ell_add_diag, ell_matvec_lane)
     from openslam_g2o_tpu.core.solvers import _tree_dot, pcg_solve
 
     work = prob.with_params(params)
     lin = linearize(work)
     values, b = assemble_ell(work, pattern, lin)
     diag_blocks = pattern.diag_blocks(work, values)
-    # per-group damping masks: lam on free slots, +1 on fixed slots
-    free_parts = {g.name: work.free[g.name][:, None]
-                  for g in work.static.vgroups}
+    # the PCG hot loop runs entirely lane-major ([D, N] parts): transposes
+    # happen once per trial here, not once per matvec
+    bT = {k: v.T for k, v in b.items()}
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -197,17 +203,22 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
                                jnp.logical_and(rho < 0, trials < max_trials))
 
     def trial_body(st):
-        trials, done, rho, lam, ni, best_params, best_chi = st
-        extra = {k: lam * f + (1.0 - f) for k, f in free_parts.items()}
-        damped = lambda x: ell_matvec(work, pattern, values, x, extra_diag=extra)
-        precond = block_jacobi_preconditioner(work, diag_blocks, lam)
-        dx, ok = pcg_solve(damped, b, precond=precond, max_iter=pcg_iters,
-                           tol=pcg_tol)
+        trials, done, rho, lam, ni, best_params, best_chi, best_dxT = st
+        # damping (lam on free slots, unit diagonal on fixed) folded into
+        # the ELL values once per trial — keeps the matvec itself bare
+        extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
+                 for g in work.static.vgroups}
+        damped_vals = ell_add_diag(work, pattern, values, extra)
+        damped = lambda xT: ell_matvec_lane(work, pattern, damped_vals, xT)
+        precond = block_jacobi_preconditioner_lane(work, diag_blocks, lam)
+        dxT, ok = pcg_solve(damped, bT, precond=precond, max_iter=pcg_iters,
+                            tol=pcg_tol, unroll=2, norm="precond", x0=dx0T)
+        dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
         chi_new = jnp.where(ok, chi_new, jnp.inf)
-        scale = _tree_dot(dx, jax.tree_util.tree_map(
-            lambda d, bi: lam * d + bi, dx, b)) + 1e-3
+        scale = _tree_dot(dxT, jax.tree_util.tree_map(
+            lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
         rho = (chi_cur - chi_new) / scale
         accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
         alpha = 1.0 - (2.0 * rho - 1.0) ** 3
@@ -216,14 +227,19 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         ni = jnp.where(accept, 2.0, ni * 2.0)
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_dxT = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), dxT, best_dxT)
         best_chi = jnp.where(accept, chi_new, best_chi)
-        return trials + 1, accept, rho, lam, ni, best_params, best_chi
+        return trials + 1, accept, rho, lam, ni, best_params, best_chi, \
+            best_dxT
 
+    zerosT = {g.name: jnp.zeros((g.tangent_dim, g.count), prob.dtype)
+              for g in prob.static.vgroups}
     init = (jnp.int32(0), jnp.array(False), jnp.array(-1.0, prob.dtype),
-            lam, ni, params, chi_cur)
-    trials, accepted, rho, lam, ni, best_params, best_chi = jax.lax.while_loop(
-        trial_cond, trial_body, init)
-    return best_params, lam, ni, best_chi, trials, accepted
+            lam, ni, params, chi_cur, zerosT)
+    (trials, accepted, rho, lam, ni, best_params, best_chi,
+     best_dxT) = jax.lax.while_loop(trial_cond, trial_body, init)
+    return best_params, lam, ni, best_chi, trials, accepted, best_dxT
 
 
 @jax.jit
@@ -283,7 +299,7 @@ class LevenbergMarquardtPCG:
                 "chi2": robust_chi2(prob)}
 
     def step(self, prob: Problem, state: dict):
-        params, lam, ni, chi, trials, accepted = _lm_pcg_step(
+        params, lam, ni, chi, trials, accepted, _ = _lm_pcg_step(
             prob, self.pattern(prob), state["params"], state["lam"],
             state["ni"], state["chi2"], max_trials=self.max_trials,
             pcg_iters=self.pcg_iters, pcg_tol=self.pcg_tol)
@@ -294,23 +310,33 @@ class LevenbergMarquardtPCG:
 
 
 @partial(jax.jit,
-         static_argnames=("n_iters", "max_trials", "pcg_iters", "pcg_tol"))
+         static_argnames=("n_iters", "max_trials", "pcg_iters", "pcg_tol",
+                          "warm"))
 def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
                           chi, n_iters: int = 10, max_trials: int = 10,
-                          pcg_iters: int = 75, pcg_tol: float = 1e-8):
+                          pcg_iters: int = 75, pcg_tol: float = 1e-8,
+                          warm: bool = False):
     """Run n_iters LM-PCG iterations as ONE device program (lax.scan) — no
     host round-trip between iterations. The production serving shape: the
-    whole optimization is a single XLA executable. Returns
-    (params, lam, ni, chi, chi_trajectory [n_iters])."""
-    def body(carry, _):
-        params, lam, ni, chi = carry
-        params, lam, ni, chi, trials, ok = _lm_pcg_step.__wrapped__(
-            prob, pattern, params, lam, ni, chi, max_trials=max_trials,
-            pcg_iters=pcg_iters, pcg_tol=pcg_tol)
-        return (params, lam, ni, chi), chi
+    whole optimization is a single XLA executable.
 
-    (params, lam, ni, chi), traj = jax.lax.scan(
-        body, (params, lam, ni, chi), None, length=n_iters)
+    warm=True threads each accepted step's dx into the next step's PCG as a
+    warm start — slower per iteration but converges much deeper per step
+    near the basin (the polish-phase configuration). Returns
+    (params, lam, ni, chi, chi_trajectory [n_iters])."""
+    zerosT = {g.name: jnp.zeros((g.tangent_dim, g.count), prob.dtype)
+              for g in prob.static.vgroups}
+
+    def body(carry, _):
+        params, lam, ni, chi, dxT = carry
+        params, lam, ni, chi, trials, ok, dxT_new = _lm_pcg_step.__wrapped__(
+            prob, pattern, params, lam, ni, chi,
+            dx0T=dxT if warm else None, max_trials=max_trials,
+            pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+        return (params, lam, ni, chi, dxT_new), chi
+
+    (params, lam, ni, chi, _), traj = jax.lax.scan(
+        body, (params, lam, ni, chi, zerosT), None, length=n_iters)
     return params, lam, ni, chi, traj
 
 

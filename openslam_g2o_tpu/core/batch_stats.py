@@ -126,9 +126,63 @@ def profile_iteration(problem: P.Problem, solver: str = "dense",
         raise ValueError(f"unknown solver {solver!r}")
 
     new_params, stats["time_update"] = _timed(upd_fn, dx, repeats=repeats)
-    stats["hessian_dims"] = problem.static.total_dim
-    stats["hessian_pose_dims"] = problem.static.pose_dim
+    stats.update(hessian_shape_stats(problem, solver=solver))
     stats["iteration_total"] = sum(
         v for k, v in stats.items()
         if k.startswith("time_") and k != "time_chi2")
     return stats
+
+
+def hessian_shape_stats(problem: P.Problem, solver: str = "dense") -> dict:
+    """Structural fields of G2OBatchStatistics (batch_stats.h:58-75):
+    Hessian dimensions (total / pose / landmark), scalar and block nnz of the
+    stored system, and the factor-fill analogue for the dense path (dense
+    Cholesky "nnz" = full lower triangle — the honest TPU equivalent of
+    choleskyNNZ)."""
+    out = {
+        "hessian_dims": problem.static.total_dim,
+        "hessian_pose_dims": problem.static.pose_dim,
+        "hessian_landmark_dims":
+            problem.static.total_dim - problem.static.pose_dim,
+        "num_vertices": sum(g.count for g in problem.static.vgroups),
+        "num_edges": sum(eg.count for eg in problem.static.egroups),
+    }
+    if solver == "dense":
+        T = problem.static.total_dim
+        out["hessian_nnz"] = T * T
+        out["cholesky_nnz"] = T * (T + 1) // 2
+    else:
+        # stored block entries of the ELL layout (incl. padding — the memory
+        # the SpMV actually streams) and the exact symbolic block nnz
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+        import numpy as np
+        pattern = build_ell_pattern(problem)
+        stored = 0
+        for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+            rg = problem.static.vgroup(rg_name)
+            cg = problem.static.vgroup(cg_name)
+            stored += rg.count * pattern.K[pid] \
+                * rg.tangent_dim * cg.tangent_dim
+        # exact symbolic block nnz: unique (row, col) per group pair straight
+        # from the edge index tables (what build_ell_pattern deduplicates)
+        exact = 0
+        pair_cells: dict = {}
+        for eg in problem.static.egroups:
+            ea = problem.edges[eg.key]
+            k = eg.etype.num_vertices
+            idx = [np.asarray(ea.indices[s]).astype(np.int64) for s in range(k)]
+            for s in range(k):
+                for t in range(k):
+                    key = (eg.slots[s], eg.slots[t])
+                    cg = problem.static.vgroup(eg.slots[t])
+                    pair_cells.setdefault(key, []).append(
+                        idx[s] * cg.count + idx[t])
+            del idx
+        for (rn, cn), cells in pair_cells.items():
+            rg = problem.static.vgroup(rn)
+            cg = problem.static.vgroup(cn)
+            n_uniq = len(np.unique(np.concatenate(cells)))
+            exact += n_uniq * rg.tangent_dim * cg.tangent_dim
+        out["hessian_nnz"] = int(exact)
+        out["hessian_nnz_stored_ell"] = int(stored)
+    return out

@@ -47,15 +47,25 @@ class _SchurAuto:
         self._props = props
         self._impl = None
 
+    @staticmethod
+    def _filter_props(ctor, props):
+        import inspect
+        accepted = set(inspect.signature(ctor.__init__).parameters)
+        return {k: v for k, v in props.items() if k in accepted}
+
     def _resolve(self, prob):
         if self._impl is None:
             from openslam_g2o_tpu.core.ba_ell import (
                 LevenbergMarquardtSchurELL, build_ba_ell_pattern)
             try:
                 build_ba_ell_pattern(prob)
-                self._impl = LevenbergMarquardtSchurELL(**self._props)
+                self._impl = LevenbergMarquardtSchurELL(
+                    **self._filter_props(LevenbergMarquardtSchurELL,
+                                         self._props))
             except ValueError:
-                self._impl = LevenbergMarquardtSchur(**self._props)
+                self._impl = LevenbergMarquardtSchur(
+                    **self._filter_props(LevenbergMarquardtSchur,
+                                         self._props))
         return self._impl
 
     def init(self, prob):
@@ -70,6 +80,38 @@ class AlgorithmSpec:
         self.algo_name = algo_name
         self.backend = backend
         self.marginalize = marginalize
+
+    def _target_ctors(self, marginalize: bool = False):
+        """The constructor(s) a make() call with these settings can reach —
+        used for signature-based property filtering (accepted_props)."""
+        if self.algo_name == "structure_only":
+            from openslam_g2o_tpu.core.special_solvers import StructureOnly
+            return (StructureOnly,)
+        if self.algo_name == "2dlinear":
+            from openslam_g2o_tpu.core.special_solvers import SolverSlam2DLinear
+            return (SolverSlam2DLinear,)
+        if (marginalize or self.marginalize) and self.algo_name == "lm":
+            from openslam_g2o_tpu.core.ba_ell import LevenbergMarquardtSchurELL
+            return (LevenbergMarquardtSchurELL, LevenbergMarquardtSchur)
+        if self.backend == "pcg" and self.algo_name == "lm":
+            return (LevenbergMarquardtPCG,)
+        return (_ALGOS[self.algo_name],)
+
+    def accepted_props(self, marginalize: bool = False) -> set:
+        """Property names the resolved algorithm's constructor(s) accept.
+
+        Signature inspection replaces parsing TypeError messages: the
+        reference likewise silently ignores inapplicable solver properties
+        (g2o.cpp:218-226 filters through PropertyMap::updateMapFromString)."""
+        import inspect
+        names: set = set()
+        for ctor in self._target_ctors(marginalize):
+            sig = inspect.signature(ctor.__init__)
+            for p in sig.parameters.values():
+                if p.name == "self" or p.kind == p.VAR_KEYWORD:
+                    continue
+                names.add(p.name)
+        return names
 
     def make(self, marginalize: bool = False, **props):
         if self.algo_name == "structure_only":

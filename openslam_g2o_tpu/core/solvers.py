@@ -84,7 +84,8 @@ def _tree_axpy(alpha, x, y):
 
 
 def pcg_solve(matvec, b, precond=None, max_iter: int = 100,
-              tol: float = 1e-6, x0=None):
+              tol: float = 1e-6, x0=None, unroll: int = 1,
+              norm: str = "true"):
     """Preconditioned conjugate gradient with a fixed iteration budget.
 
     Matrix-free analogue of LinearSolverPCG (linear_solver_pcg.h:47-110):
@@ -95,38 +96,75 @@ def pcg_solve(matvec, b, precond=None, max_iter: int = 100,
     Operands may be flat arrays OR pytrees of per-group parts — the pytree
     form keeps the hot loop free of gather/scatter on TPU.
 
+    unroll: CG iterations per while_loop body. At pose-graph sizes each
+    iteration is latency-bound (~30 tiny ops), so checking the tolerance
+    every 2nd iteration halves the loop-carried sync overhead; the extra
+    past-tolerance iteration only refines the solution. Indefiniteness stays
+    sticky across the unrolled pair (alpha is gated to 0 once curvature goes
+    non-positive, freezing x).
+
+    norm: "true" stops on ||r||^2 <= tol^2 ||b||^2 (an extra reduction per
+    iteration); "precond" stops on the M^-1-norm r.z <= tol^2 b.M^-1 b that
+    CG already computes — one fewer global reduction in the latency-bound
+    hot loop, the right choice for inexact-Newton forcing tolerances.
+
     Returns (x, ok).
     """
     if precond is None:
         precond = lambda r: r
+    use_precond_norm = norm == "precond"
     zeros = jax.tree_util.tree_map(jnp.zeros_like, b)
     x = zeros if x0 is None else x0
     r = jax.tree_util.tree_map(lambda bi, hxi: bi - hxi, b, matvec(x))
     z = precond(r)
     p = z
     rz = _tree_dot(r, z)
-    b2 = jnp.maximum(_tree_dot(b, b), 1e-30)
+    if use_precond_norm:
+        r2_0 = rz
+        b2 = jnp.maximum(_tree_dot(b, precond(b)), 1e-30)
+    else:
+        r2_0 = _tree_dot(r, r)
+        b2 = jnp.maximum(_tree_dot(b, b), 1e-30)
 
     def cond(state):
-        i, x, r, p, rz = state
-        return jnp.logical_and(i < max_iter, _tree_dot(r, r) > tol * tol * b2)
+        i, x, r, p, rz, r2, pd = state
+        return jnp.logical_and(jnp.logical_and(i < max_iter, pd),
+                               r2 > tol * tol * b2)
 
-    def body(state):
-        i, x, r, p, rz = state
+    def one_iteration(state):
+        i, x, r, p, rz, r2, pd = state
         hp = matvec(p)
         denom = _tree_dot(p, hp)
-        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        # negative/zero curvature -> the damped system is not PD; freeze x
+        # (alpha gated to 0, stickily) and exit so the caller gets a failure
+        # signal (the reference's failed-factorization path,
+        # optimization_algorithm_levenberg.cpp:119-120) instead of a
+        # silently-diverged "solution".
+        pd = jnp.logical_and(pd, denom > 0)
+        alpha = jnp.where(pd, rz / jnp.where(denom == 0, 1.0, denom), 0.0)
         x = _tree_axpy(alpha, p, x)
         r = _tree_axpy(-alpha, hp, r)
         z = precond(r)
         rz_new = _tree_dot(r, z)
+        r2_new = rz_new if use_precond_norm else _tree_dot(r, r)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = _tree_axpy(beta, p, z)
-        return i + 1, x, r, p, rz_new
+        return i + 1, x, r, p, rz_new, r2_new, pd
 
-    _, x, r, _, _ = jax.lax.while_loop(cond, body, (0, x, r, p, rz))
-    ok = jnp.all(jnp.asarray(
+    def body(state):
+        for _ in range(unroll):
+            state = one_iteration(state)
+        return state
+
+    _, x, r, _, _, r2, pd = jax.lax.while_loop(
+        cond, body, (0, x, r, p, rz, r2_0, jnp.array(True)))
+    finite = jnp.all(jnp.asarray(
         [jnp.all(jnp.isfinite(leaf)) for leaf in jax.tree_util.tree_leaves(x)]))
+    # indefiniteness only fails the solve if the residual had not already met
+    # the tolerance (a tiny rounding-negative denominator at convergence is
+    # not a stall)
+    ok = jnp.logical_and(finite,
+                         jnp.logical_or(pd, r2 <= tol * tol * b2))
     x = jax.tree_util.tree_map(
         lambda xi: jnp.where(ok, xi, jnp.zeros_like(xi)), x)
     return x, ok

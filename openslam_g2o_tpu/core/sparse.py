@@ -41,7 +41,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec",
-           "bmm_small"]
+           "ell_matvec_lane", "bmm_small"]
 
 # Above this many int32 entries in one contributor table, fall back to the
 # scatter assembly (a pathological hub vertex would otherwise explode the
@@ -63,7 +63,7 @@ def bmv_small(A, v):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["nb_idx", "positions", "contrib_idx", "contrib_mask",
-                      "b_idx", "b_mask"],
+                      "b_idx", "b_mask", "self_mask"],
          meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
                       "b_sources"])
 @dataclass
@@ -82,6 +82,9 @@ class EllPattern:
     b_idx/mask: per vertex group, [N, Mb] contributor tables into the
         concatenated per-edge b-block stream of that group.
     b_sources: dict group -> tuple of (egroup_key, slot) in stream order.
+    self_mask: per pair, [N, K] float mask of the (i, i) self slot (None for
+        off-diagonal pairs) — lets LM damping fold into the values once per
+        trial (ell_add_diag) instead of one extra op pair per matvec.
     """
     nb_idx: tuple
     positions: dict
@@ -89,6 +92,7 @@ class EllPattern:
     contrib_mask: tuple
     b_idx: dict
     b_mask: dict
+    self_mask: tuple
     pairs: tuple
     K: tuple
     pair_of: tuple
@@ -187,6 +191,7 @@ def build_ell_pattern(problem) -> EllPattern:
     contrib_idx = []
     contrib_mask = []
     contrib_m = []
+    self_masks = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -207,6 +212,15 @@ def build_ell_pattern(problem) -> EllPattern:
         tbl[u_rows, slot_of_unique] = u_cols
         nb_idx.append(jnp.asarray(tbl))
         Ks.append(K)
+        if key[0] == key[1]:
+            # valid (non-padding) slots only: padding defaults to col 0,
+            # which would otherwise fake a self slot on row 0
+            valid = np.arange(K)[None, :] < counts[:, None]
+            self_masks.append(jnp.asarray(
+                (valid & (tbl == np.arange(rg.count)[:, None]))
+                .astype(np.float32)))
+        else:
+            self_masks.append(None)
         pos_all = slot_of_unique[inverse].astype(np.int64)
         off = 0
         for egkey, s, t, rows, _ in contribs:
@@ -248,6 +262,7 @@ def build_ell_pattern(problem) -> EllPattern:
 
     return EllPattern(tuple(nb_idx), positions,
                       tuple(contrib_idx), tuple(contrib_mask), b_idx, b_mask,
+                      tuple(self_masks),
                       tuple(pair_names), tuple(Ks), tuple(pair_of),
                       tuple(contrib_m), b_m, b_sources)
 
@@ -328,18 +343,43 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
     return tuple(values), b
 
 
-def ell_matvec(problem, pattern: EllPattern, values, x: dict,
-               extra_diag: dict = None):
-    """y = H x on per-group part dicts — one lane gather + VPU multiply-reduce
-    per pair table; the PCG hot loop on TPU (84 us -> ~unit-us scale vs the
-    row-major gather + batched-einsum form on Manhattan3500, v5e).
+def ell_add_diag(problem, pattern: EllPattern, values, extra: dict):
+    """Fold a per-vertex scalar diagonal term into the ELL values.
 
-    extra_diag: optional dict group -> [N, D] added elementwise (damping +
-    fixed-slot identity), fused here.
+    extra: dict group -> [N] added to every diagonal component of vertex n's
+    self block (LM damping lam*free + unit diagonal on fixed slots). One
+    [Dr*Dc, N, K]-sized add per trial replaces an extra multiply+add on the
+    solution vector in EVERY matvec of the latency-bound PCG loop.
+    """
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        v = values[pid]
+        if rg_name != cg_name or pattern.self_mask[pid] is None:
+            out.append(v)
+            continue
+        rg = problem.static.vgroup(rg_name)
+        D = rg.tangent_dim
+        eye_flat = jnp.reshape(jnp.eye(D, dtype=v.dtype), (-1,))
+        add = pattern.self_mask[pid].astype(v.dtype) \
+            * extra[rg_name][:, None]                       # [N, K]
+        out.append(v + eye_flat[:, None, None] * add[None])
+    return tuple(out)
+
+
+def ell_matvec_lane(problem, pattern: EllPattern, values, xT: dict,
+                    extra_diagT: dict = None):
+    """y = H x entirely in lane-major form: xT/yT are dicts group -> [D, N].
+
+    The PCG hot loop holds every vector lane-major so the matvec is one lane
+    gather + VPU multiply-reduce per pair table with NO transposes per
+    iteration (transposing [N, D] parts in and out of each matvec costs more
+    ops than the matvec itself at pose-graph scale).
+
+    extra_diagT: optional dict group -> [D, N] (or broadcastable [1, N])
+    added elementwise (damping + fixed-slot identity), fused here.
     """
     yT = {g.name: jnp.zeros((g.tangent_dim, g.count), dtype=problem.dtype)
           for g in problem.static.vgroups}
-    xT = {name: v.T for name, v in x.items()}           # [D, N], lane-major
     for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
         K = pattern.K[pid]
         rg = problem.static.vgroup(rg_name)
@@ -349,6 +389,21 @@ def ell_matvec(problem, pattern: EllPattern, values, x: dict,
         xg = xg.reshape(Dc, rg.count, K)                 # lane gather
         V = values[pid].reshape(Dr, Dc, rg.count, K)
         yT[rg_name] = yT[rg_name] + (V * xg[None]).sum(axis=(1, 3))
+    if extra_diagT is not None:
+        yT = {k: yT[k] + extra_diagT[k] * xT[k] for k in yT}
+    return yT
+
+
+def ell_matvec(problem, pattern: EllPattern, values, x: dict,
+               extra_diag: dict = None):
+    """y = H x on row-major per-group part dicts (group -> [N, D]).
+
+    Wrapper over ell_matvec_lane for callers holding row-major parts; the
+    PCG hot loop uses the lane-major form directly to skip the per-call
+    transposes.
+    """
+    xT = {name: v.T for name, v in x.items()}           # [D, N], lane-major
+    yT = ell_matvec_lane(problem, pattern, values, xT)
     y = {name: v.T for name, v in yT.items()}
     if extra_diag is not None:
         y = {k: y[k] + extra_diag[k] * x[k] for k in y}

@@ -107,12 +107,15 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
     # edges are sharded here, so the dest-major contributor tables (which
     # index the GLOBAL contribution stream) do not apply: drop them to route
     # assemble_ell through its shard-local scatter path, reduced by psum.
+    # (self_mask is only used by the single-device fast path's folded
+    # damping, ell_add_diag — this step applies damping via extra_diag)
     pattern = dataclasses.replace(
         pattern,
         contrib_idx=tuple(None for _ in pattern.contrib_idx),
         contrib_mask=tuple(None for _ in pattern.contrib_mask),
         b_idx={k: None for k in pattern.b_idx},
-        b_mask={k: None for k in pattern.b_mask})
+        b_mask={k: None for k in pattern.b_mask},
+        self_mask=tuple(None for _ in pattern.self_mask))
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes

@@ -1,0 +1,180 @@
+"""Roofline / MFU accounting: tie measured phase times to hardware limits.
+
+The reference's per-phase discipline (G2OBatchStatistics,
+g2o/core/batch_stats.h:40-84) records wall-clock only; on TPU a time is
+unfalsifiable without the corresponding FLOP and byte counts, so this module
+pairs every measured kernel with an analytic cost model and reports achieved
+FLOP/s and HBM bandwidth against the chip's peaks, plus the roofline-implied
+ceiling min(peak_flops, AI * BW) for its arithmetic intensity.
+
+Where the runtime exposes XLA's own accounting (Compiled.cost_analysis()),
+those numbers are reported alongside for cross-checking; the analytic model
+is authoritative (XLA's "bytes accessed" counts every buffer touch, not HBM
+traffic).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, asdict
+
+import jax
+
+__all__ = ["chip_peaks", "roofline_report", "ell_pcg_iteration_cost",
+           "ba_ell_step_cost", "linearize_cost"]
+
+
+# Peak numbers per device kind (public spec sheets; the scaling-book values).
+# flops are dense-matmul peaks; our kernels are VPU/elementwise so the
+# governing limit is HBM bandwidth in every case below.
+_PEAKS = {
+    # device_kind substring -> (peak bf16 FLOP/s, peak f32 FLOP/s, HBM B/s)
+    "v5 lite": (197e12, 49.2e12, 819e9),     # TPU v5e
+    "v5e": (197e12, 49.2e12, 819e9),
+    "v5p": (459e12, 114.8e12, 2765e9),
+    "v4": (275e12, 68.8e12, 1228e9),
+    "v6 lite": (918e12, 229.5e12, 1640e9),   # Trillium
+    "cpu": (1e12, 5e11, 100e9),              # nominal, for host test runs
+}
+
+
+def chip_peaks(device=None) -> dict:
+    """Peak FLOP/s and HBM bandwidth for the device (first jax device by
+    default)."""
+    device = device or jax.devices()[0]
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for sub, (bf16, f32, bw) in _PEAKS.items():
+        if sub in kind:
+            return {"device_kind": kind, "peak_bf16_flops": bf16,
+                    "peak_f32_flops": f32, "hbm_bytes_per_s": bw}
+    return {"device_kind": kind, "peak_bf16_flops": _PEAKS["cpu"][0],
+            "peak_f32_flops": _PEAKS["cpu"][1],
+            "hbm_bytes_per_s": _PEAKS["cpu"][2]}
+
+
+@dataclass
+class PhaseCost:
+    """Analytic cost of one kernel/phase: FLOPs and minimum HBM bytes."""
+    label: str
+    flops: float
+    bytes: float
+
+
+def ell_pcg_iteration_cost(problem, pattern, itemsize: int = 4) -> PhaseCost:
+    """FLOPs/bytes of ONE PCG iteration on the block-ELL Hessian.
+
+    Matvec: per pair table [Dr*Dc, N, K] — 2*N*K*Dr*Dc FLOPs; HBM reads the
+    values table once, the gathered x lanes, the index table, writes y.
+    Plus preconditioner apply (block [D,D] x [D]), 3 dots and 3 axpys over
+    the tangent vector.
+    """
+    flops = 0.0
+    bts = 0.0
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        K = pattern.K[pid]
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        flops += 2.0 * rg.count * K * Dr * Dc
+        bts += rg.count * K * (Dr * Dc * itemsize   # values
+                               + Dc * itemsize      # gathered x
+                               + 4)                 # nb_idx int32
+        bts += rg.count * Dr * itemsize             # y write
+    T = sum(g.count * g.tangent_dim for g in problem.static.vgroups)
+    Dsum = sum(g.count * g.tangent_dim * g.tangent_dim
+               for g in problem.static.vgroups)
+    flops += 2.0 * Dsum            # block-Jacobi apply
+    bts += Dsum * itemsize
+    flops += 3 * 2.0 * T           # p.Hp, r.z, r.r
+    flops += 3 * 2.0 * T           # 3 axpys
+    bts += 10 * T * itemsize       # vector reads/writes across the iteration
+    return PhaseCost("pcg_iteration", flops, bts)
+
+
+def linearize_cost(problem, itemsize: int = 4) -> PhaseCost:
+    """Approximate FLOPs/bytes of linearize + J^T W J block products.
+
+    Jacobians via jacfwd cost ~(1 + sum tangent dims) error evaluations; an
+    SE2/SE3 error evaluation is a few tens of FLOPs per edge. The JtWJ
+    products dominate: per edge k^2 small matmuls [Ds,d]x[d,Dt] plus the
+    weighted row [d,d]x[d,Dt]."""
+    flops = 0.0
+    bts = 0.0
+    for eg in problem.static.egroups:
+        ea = problem.edges[eg.key]
+        E = ea.count
+        d = eg.etype.error_dim
+        dims = [problem.static.vgroup(g).tangent_dim for g in eg.slots]
+        tsum = sum(dims)
+        flops += E * 60.0 * (1 + tsum)          # error + jacfwd passes
+        for Ds in dims:
+            flops += 2.0 * E * Ds * d * d       # W J_s
+            for Dt in dims:
+                flops += 2.0 * E * Ds * d * Dt  # J_s^T (W J_t)
+        bts += E * itemsize * (d * tsum + d * d + d   # J, Omega, resid
+                               + sum(Ds * Dt for Ds in dims for Dt in dims))
+    return PhaseCost("linearize_jtwj", flops, bts)
+
+
+def ba_ell_step_cost(problem, pattern, pcg_iters: int,
+                     itemsize: int = 4) -> PhaseCost:
+    """One dual-ELL Schur LM step: linearize + Schur reduction + pcg_iters
+    iterations on the reduced camera system (core/ba_ell.py layout)."""
+    lin = linearize_cost(problem, itemsize)
+    flops, bts = lin.flops, lin.bytes
+    pose_g = [g for g in problem.static.vgroups
+              if not g.marginalized]
+    lm_g = [g for g in problem.static.vgroups if g.marginalized]
+    n_obs = sum(problem.edges[eg.key].count for eg in problem.static.egroups)
+    if lm_g:
+        Dl = lm_g[0].tangent_dim
+        L = lm_g[0].count
+        flops += L * (Dl ** 3) * 2        # Hll inverse (closed form ~2D^3)
+        bts += L * Dl * Dl * itemsize * 2
+    if pose_g:
+        Dp = pose_g[0].tangent_dim
+        # W Hll^-1 W^T outer products per observation pair via the ELL
+        flops += 4.0 * n_obs * Dp * Dl * (Dp + Dl)
+        bts += n_obs * Dp * Dl * itemsize * 3
+        # reduced-system PCG: dense-ish camera-camera ELL
+        cam_pairs = n_obs  # upper bound on camera-camera fill contributions
+        flops += pcg_iters * 2.0 * cam_pairs * Dp * Dp
+        bts += pcg_iters * cam_pairs * Dp * Dp * itemsize
+    return PhaseCost("ba_ell_lm_step", flops, bts)
+
+
+def roofline_report(cost: PhaseCost, seconds: float, peaks: dict = None,
+                    dtype_flops: str = "f32") -> dict:
+    """Measured time + analytic cost -> achieved rates vs chip limits."""
+    peaks = peaks or chip_peaks()
+    peak_f = peaks[f"peak_{dtype_flops}_flops"]
+    peak_bw = peaks["hbm_bytes_per_s"]
+    ai = cost.flops / max(cost.bytes, 1.0)
+    ceiling_flops = min(peak_f, ai * peak_bw)
+    achieved_f = cost.flops / max(seconds, 1e-12)
+    achieved_bw = cost.bytes / max(seconds, 1e-12)
+    return {
+        "phase": cost.label,
+        "flops": cost.flops,
+        "hbm_bytes": cost.bytes,
+        "seconds": seconds,
+        "arithmetic_intensity": round(ai, 3),
+        "achieved_gflops": round(achieved_f / 1e9, 2),
+        "achieved_gbps": round(achieved_bw / 1e9, 2),
+        "mfu_pct": round(100.0 * achieved_f / peak_f, 4),
+        "hbm_bw_pct": round(100.0 * achieved_bw / peak_bw, 2),
+        "roofline_ceiling_gflops": round(ceiling_flops / 1e9, 2),
+        "pct_of_roofline": round(100.0 * achieved_f / ceiling_flops, 2),
+        "bound": "hbm_bw" if ai * peak_bw < peak_f else "compute",
+    }
+
+
+def xla_cost_analysis(fn, *args) -> dict:
+    """XLA's own per-executable accounting, when the backend exposes it."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0] if ca else {}
+        return {"xla_flops": ca.get("flops"),
+                "xla_bytes_accessed": ca.get("bytes accessed")}
+    except Exception:
+        return {}

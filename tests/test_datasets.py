@@ -45,11 +45,12 @@ class TestIntel:
 
 
 class TestSphere:
-    def test_lm_pcg_descends(self):
+    def test_lm_pcg_converges_to_reference_basin(self):
         """sphere_bignoise_vertex3.g2o: recorded values chi2 1.766e8 ->
         743862.7 (plateau reached ~iteration 60, identical basin from file
-        init and spanning-tree init). This test runs the first 25 iterations
-        and checks the trajectory is on the recorded path."""
+        init and spanning-tree init). Runs the full 60 iterations and
+        requires the recorded plateau within 0.1% — convergence to the
+        reference basin, not merely descent."""
         from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
         g = load_g2o("/root/reference/data/3d/sphere/sphere_bignoise_vertex3.g2o")
         if g.gauge_freedom():
@@ -58,8 +59,8 @@ class TestSphere:
         chi0 = float(P.chi2(prob))
         assert abs(chi0 - 176631217.78) / chi0 < 1e-6
         out, stats = optimize(prob, LevenbergMarquardtPCG(pcg_iters=150),
-                              iterations=25)
-        assert stats[-1]["chi2"] < 1.6e6
+                              iterations=60)
+        assert abs(stats[-1]["chi2"] - 743862.7) / 743862.7 < 1e-3
         chis = [s["chi2"] for s in stats]
         assert all(b <= a + 1e-6 for a, b in zip(chis, chis[1:]))
 
