@@ -219,25 +219,13 @@ def main(argv=None):
                  and len(prob.static.marginalized_groups) == 1
                  and prob.static.pose_dim < prob.static.total_dim)
     # drop properties the chosen algorithm does not take (e.g. pcg knobs on
-    # a dense solver) — the reference likewise ignores inapplicable ones
-    import re
-    props_use = dict(props)
-    while True:
-        try:
-            algorithm = spec.make(marginalize=use_schur, **props_use)
-            break
-        except TypeError as exc:
-            m = re.search(r"unexpected keyword argument '([^']+)'", str(exc))
-            if (not m or m.group(1) not in props_use):
-                if "takes no arguments" in str(exc) and props_use:
-                    for k in list(props_use):
-                        print(f"# solver ignores property {k}",
-                              file=sys.stderr)
-                    props_use.clear()
-                    continue
-                raise
-            print(f"# solver ignores property {m.group(1)}", file=sys.stderr)
-            del props_use[m.group(1)]
+    # a dense solver) by signature inspection — the reference likewise
+    # ignores inapplicable ones (g2o.cpp:218-226)
+    accepted = spec.accepted_props(marginalize=use_schur)
+    props_use = {k: v for k, v in props.items() if k in accepted}
+    for k in sorted(set(props) - set(props_use)):
+        print(f"# solver ignores property {k}", file=sys.stderr)
+    algorithm = spec.make(marginalize=use_schur, **props_use)
     if use_schur:
         print("# Schur complement: marginalizing "
               f"{prob.static.marginalized_groups[0].name}", file=sys.stderr)
