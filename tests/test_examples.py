@@ -73,3 +73,9 @@ def test_anchored_inverse_depth_example():
     out, _ = optimize(prob, LevenbergMarquardtSchur(), iterations=20)
     err = ex.point_errors(out, g, true_points, poses, anchors)
     assert np.sqrt((err ** 2).mean()) < 0.8 * np.sqrt((err0 ** 2).mean())
+
+
+def test_frontend_slam_example():
+    import examples.frontend_slam as ex
+    out = ex.main(["--frames", "16"])
+    assert out["ate_rmse"] <= out["ate_rmse_odometry_only"]
