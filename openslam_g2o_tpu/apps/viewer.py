@@ -29,17 +29,19 @@ _POINT3D = ("point_xyz", "sba_point_xyz")
 
 
 def _positions(graph: Graph):
+    """Collect drawable positions via the per-type "draw" action registry
+    (core/actions.py — the HyperGraphElementAction dispatch); types without
+    a registered draw action are skipped, exactly like the reference
+    viewer."""
+    from openslam_g2o_tpu.core import actions as A
+
     pos2, pos3, lm2, lm3 = {}, {}, {}, {}
-    for vid, rec in graph.vertices.items():
-        name = rec.vtype.name
-        if name in _POSE2D:
-            pos2[vid] = rec.params[:2]
-        elif name in _POSE3D:
-            pos3[vid] = rec.params[:3]
-        elif name in _POINT2D:
-            lm2[vid] = rec.params[:2]
-        elif name in _POINT3D:
-            lm3[vid] = rec.params[:3]
+    buckets = {"pose2": pos2, "pose3": pos3, "point2": lm2, "point3": lm3}
+    for prim in A.apply_action(graph, A.DRAW, edges=False):
+        if prim is None:
+            continue
+        kind, vid, xy = prim
+        buckets[kind][vid] = xy
     return pos2, pos3, lm2, lm3
 
 
@@ -133,21 +135,17 @@ def plot_graph(graph: Graph, path: str, title: str = "",
 def write_gnuplot(graph: Graph, path: str):
     """Dump edges in the gnuplot format of the reference's saveGnuplot
     (output_helper.cpp): per edge, endpoint coordinates on consecutive lines
-    separated by blank lines."""
+    separated by blank lines. Dispatches through the per-type
+    "writeGnuplot" action registry (core/actions.py); edges without a
+    registered writer fall back to a generic endpoint dump when both
+    endpoints have draw actions."""
+    from openslam_g2o_tpu.core import actions as A
+
     with open(path, "w") as f:
         for e in graph.edges:
-            if len(e.vertex_ids) < 2:
-                continue
-            coords = []
-            for vid in e.vertex_ids[:2]:
-                rec = graph.vertices[vid]
-                name = rec.vtype.name
-                if name in _POSE2D + _POINT2D:
-                    coords.append(rec.params[:2])
-                elif name in _POSE3D + _POINT3D:
-                    coords.append(rec.params[:3])
-            if len(coords) == 2:
-                for c in coords:
-                    f.write(" ".join(repr(float(v)) for v in c) + "\n")
-                f.write("\n")
+            fn = A.action_for(A.WRITE_GNUPLOT, e.etype.name)
+            rec = fn(graph, e, None) if fn is not None \
+                else A._gnuplot_edge(graph, e, None)
+            if rec:
+                f.write(rec)
     return path

@@ -108,3 +108,39 @@ class TestUnfold:
         assert n == 1
         chi1 = float(P.chi2(g.compile()))
         assert chi1 < chi0 * 1e-3, (chi0, chi1)
+
+
+class TestActionRegistry:
+    """Per-element typed actions (hyper_graph_action.h:137-205 analogue)."""
+
+    def test_draw_dispatch_and_custom_registration(self):
+        import numpy as np
+        from openslam_g2o_tpu.core import actions as A
+        from openslam_g2o_tpu.core.graph import Graph
+        g = Graph()
+        g.add_vertex(0, "se2", np.zeros(3), fixed=True)
+        g.add_vertex(1, "se2", np.array([1.0, 0, 0]))
+        g.add_edge("edge_se2", (0, 1), np.array([1.0, 0, 0]), np.eye(3))
+        prims = A.apply_action(g, A.DRAW, edges=False)
+        assert [p[0] for p in prims] == ["pose2", "pose2"]
+        # custom handler registration extends dispatch (G2O_REGISTER_ACTION)
+        calls = []
+        A.register_action("myaction", "edge_se2",
+                          lambda gr, e, p: calls.append(e.vertex_ids))
+        A.apply_action(g, "myaction", vertices=False)
+        assert calls == [(0, 1)]
+        del A._LIBRARY["myaction"]
+
+    def test_gnuplot_through_registry(self, tmp_path):
+        import numpy as np
+        from openslam_g2o_tpu.apps.viewer import write_gnuplot
+        from openslam_g2o_tpu.core.graph import Graph
+        g = Graph()
+        g.add_vertex(0, "se2", np.zeros(3), fixed=True)
+        g.add_vertex(1, "se2", np.array([1.0, 2.0, 0]))
+        g.add_edge("edge_se2", (0, 1), np.array([1.0, 2.0, 0]), np.eye(3))
+        out = tmp_path / "dump.gnuplot"
+        write_gnuplot(g, str(out))
+        lines = out.read_text().strip().splitlines()
+        assert lines[0].split() == ["0.0", "0.0"]
+        assert lines[1].split() == ["1.0", "2.0"]
