@@ -89,11 +89,13 @@ def run_tpu_manhattan():
     jax.block_until_ready(out[0])
     elapsed = time.monotonic() - t0
     st = out[:4]
-    # converge: more forcing steps, then tight-tolerance polish for parity
+    # converge: more forcing steps, then warm-started tight-tolerance polish
+    # for parity (reaches 146.076 = the reference minimum at f32; see
+    # CLAUDE.md recorded runs)
     out = run10(st)
     st = out[:4]
     polish = lambda s, n: lm_pcg_optimize_fused(
-        prob, pattern, *s, n_iters=n, pcg_iters=600, pcg_tol=1e-6)
+        prob, pattern, *s, n_iters=n, pcg_iters=600, pcg_tol=1e-6, warm=True)
     out = polish(st, 10)
     st = out[:4]
     for _ in range(3):

@@ -183,11 +183,12 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     reaches much deeper per LM iteration; used by the polish phase. Returns
     a 7-tuple ending with the accepted step's dxT for threading.
     """
-    from openslam_g2o_tpu.core.problem import (
-        apply_update_parts, block_jacobi_preconditioner_lane)
+    from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag, ell_matvec_lane)
-    from openslam_g2o_tpu.core.solvers import _tree_dot, pcg_solve
+        assemble_ell, ell_add_diag, ell_matvec_lane, ell_scale_jacobi,
+        lane_block_mv)
+    from openslam_g2o_tpu.core.solvers import (
+        _tree_dot, batched_chol_inv_lower, batched_chol_lower, pcg_solve)
 
     work = prob.with_params(params)
     lin = linearize(work)
@@ -196,6 +197,8 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     # the PCG hot loop runs entirely lane-major ([D, N] parts): transposes
     # happen once per trial here, not once per matvec
     bT = {k: v.T for k, v in b.items()}
+    eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
+            for g in work.static.vgroups}
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -205,14 +208,35 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     def trial_body(st):
         trials, done, rho, lam, ni, best_params, best_chi, best_dxT = st
         # damping (lam on free slots, unit diagonal on fixed) folded into
-        # the ELL values once per trial — keeps the matvec itself bare
+        # the ELL values once per trial, then the whole system symmetrically
+        # scaled by the damped diagonal's inverse Cholesky factors
+        # (split-form block-Jacobi): the CG loop runs with NO preconditioner
+        # apply and a single reduction for both the recurrence and the
+        # stopping test. A non-SPD damped diagonal yields NaN factors ->
+        # ok False -> lambda retry, the reference's failed-factorization
+        # semantics.
         extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
                  for g in work.static.vgroups}
         damped_vals = ell_add_diag(work, pattern, values, extra)
-        damped = lambda xT: ell_matvec_lane(work, pattern, damped_vals, xT)
-        precond = block_jacobi_preconditioner_lane(work, diag_blocks, lam)
-        dxT, ok = pcg_solve(damped, bT, precond=precond, max_iter=pcg_iters,
-                            tol=pcg_tol, unroll=2, norm="precond", x0=dx0T)
+        dblocks = {name: diag_blocks[name]
+                   + extra[name][:, None, None] * eyes[name][None]
+                   for name in diag_blocks}
+        linv = {name: batched_chol_inv_lower(dblocks[name])
+                for name in dblocks}
+        svals = ell_scale_jacobi(work, pattern, damped_vals, linv)
+        linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
+                     for name in linv}                     # [D, D, N]
+        bhatT = lane_block_mv(linv_lane, bT)               # Linv b
+        mv = lambda xT: ell_matvec_lane(work, pattern, svals, xT)
+        if dx0T is not None:
+            lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
+                                        0, -1) for name in dblocks}
+            x0hat = lane_block_mv(lchol, dx0T, transpose=True)   # L^T dx0
+        else:
+            x0hat = None
+        xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters,
+                             tol=pcg_tol, unroll=2, norm="precond", x0=x0hat)
+        dxT = lane_block_mv(linv_lane, xhat, transpose=True)     # L^-T xhat
         dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)

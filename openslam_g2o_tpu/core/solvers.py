@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
-__all__ = ["solve_dense_cholesky", "pcg_solve", "batched_small_inv"]
+__all__ = ["solve_dense_cholesky", "pcg_solve", "batched_small_inv",
+           "batched_chol_lower", "batched_chol_inv_lower"]
 
 
 def batched_small_inv(A):
@@ -56,6 +57,85 @@ def batched_small_inv(A):
         ], axis=-2)
         return adj * inv_det[..., None, None]
     return jnp.linalg.inv(A)
+
+
+def batched_chol_inv_lower(A):
+    """L^-1 for a batch of small SPD matrices A = L L^T.
+
+    D in {1, 2, 3} uses the closed-form scalar Cholesky + forward solve —
+    pure elementwise VPU arithmetic (the building block of the Jacobi-scaled
+    CG fast path). Larger D falls back to batched cholesky + triangular
+    solve.
+    """
+    D = A.shape[-1]
+    if D == 1:
+        return 1.0 / jnp.sqrt(A)
+    if D == 2:
+        l11 = jnp.sqrt(A[..., 0, 0])
+        l21 = A[..., 1, 0] / l11
+        l22 = jnp.sqrt(A[..., 1, 1] - l21 * l21)
+        m11 = 1.0 / l11
+        m22 = 1.0 / l22
+        m21 = -(l21 * m11) * m22
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([m11, z], axis=-1),
+            jnp.stack([m21, m22], axis=-1),
+        ], axis=-2)
+    if D == 3:
+        l11 = jnp.sqrt(A[..., 0, 0])
+        l21 = A[..., 1, 0] / l11
+        l31 = A[..., 2, 0] / l11
+        l22 = jnp.sqrt(A[..., 1, 1] - l21 * l21)
+        l32 = (A[..., 2, 1] - l31 * l21) / l22
+        l33 = jnp.sqrt(A[..., 2, 2] - l31 * l31 - l32 * l32)
+        m11 = 1.0 / l11
+        m22 = 1.0 / l22
+        m33 = 1.0 / l33
+        m21 = -(l21 * m11) * m22
+        m31 = -(l31 * m11 + l32 * m21) * m33
+        m32 = -(l32 * m22) * m33
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([m11, z, z], axis=-1),
+            jnp.stack([m21, m22, z], axis=-1),
+            jnp.stack([m31, m32, m33], axis=-1),
+        ], axis=-2)
+    L = jnp.linalg.cholesky(A)
+    eye = jnp.broadcast_to(jnp.eye(D, dtype=A.dtype), A.shape)
+    return jax.vmap(lambda Li, I: solve_triangular(Li, I, lower=True))(
+        L.reshape((-1, D, D)), eye.reshape((-1, D, D))).reshape(A.shape)
+
+
+def batched_chol_lower(A):
+    """L for a batch of small SPD matrices A = L L^T (closed form for
+    D <= 3, elementwise VPU arithmetic; jnp.linalg.cholesky beyond)."""
+    D = A.shape[-1]
+    if D == 1:
+        return jnp.sqrt(A)
+    if D == 2:
+        l11 = jnp.sqrt(A[..., 0, 0])
+        l21 = A[..., 1, 0] / l11
+        l22 = jnp.sqrt(A[..., 1, 1] - l21 * l21)
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([l11, z], axis=-1),
+            jnp.stack([l21, l22], axis=-1),
+        ], axis=-2)
+    if D == 3:
+        l11 = jnp.sqrt(A[..., 0, 0])
+        l21 = A[..., 1, 0] / l11
+        l31 = A[..., 2, 0] / l11
+        l22 = jnp.sqrt(A[..., 1, 1] - l21 * l21)
+        l32 = (A[..., 2, 1] - l31 * l21) / l22
+        l33 = jnp.sqrt(A[..., 2, 2] - l31 * l31 - l32 * l32)
+        z = jnp.zeros_like(l11)
+        return jnp.stack([
+            jnp.stack([l11, z, z], axis=-1),
+            jnp.stack([l21, l22, z], axis=-1),
+            jnp.stack([l31, l32, l33], axis=-1),
+        ], axis=-2)
+    return jnp.linalg.cholesky(A)
 
 
 def solve_dense_cholesky(H, b):

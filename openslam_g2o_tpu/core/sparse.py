@@ -366,6 +366,51 @@ def ell_add_diag(problem, pattern: EllPattern, values, extra: dict):
     return tuple(out)
 
 
+def ell_scale_jacobi(problem, pattern: EllPattern, values, linv: dict):
+    """Symmetrically scale the block Hessian by the inverse Cholesky factors
+    of its (damped) diagonal blocks: block(i, j) -> Linv_i block Linv_j^T.
+
+    This is the split form of block-Jacobi preconditioning: the scaled
+    system has UNIT diagonal blocks and identical CG convergence to the
+    M = diag preconditioned iteration, but the per-iteration preconditioner
+    apply (and the separate r.z reduction) vanish from the latency-bound hot
+    loop — the scaling is two small-contraction sweeps over the values
+    tables once per LM trial.
+
+    linv: dict group -> [N, D, D] lower-triangular inverse factors.
+    """
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        K = pattern.K[pid]
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        B = values[pid].reshape(Dr, Dc, rg.count, K)
+        Li = jnp.moveaxis(linv[rg_name], 0, -1)         # [Dr, Dr, N]
+        # C[a, c, n, k] = sum_b Li[a, b, n] B[b, c, n, k]
+        C = (Li[:, :, None, :, None] * B[None]).sum(axis=1)
+        LjT = jnp.moveaxis(linv[cg_name], 0, -1)        # [Dc, Dc, Ncol]
+        Ljg = jnp.take(LjT.reshape(Dc * Dc, cg.count),
+                       pattern.nb_idx[pid].reshape(-1), axis=1)
+        Ljg = Ljg.reshape(Dc, Dc, rg.count, K)
+        # out[a, d, n, k] = sum_c C[a, c, n, k] Linv_j[d, c, n, k]
+        S = (C[:, None] * Ljg[None]).sum(axis=2)
+        out.append(S.reshape(Dr * Dc, rg.count, K))
+    return tuple(out)
+
+
+def lane_block_mv(mats_lane: dict, xT: dict, transpose: bool = False):
+    """y[a, n] = sum_b M[a, b, n] x[b, n] per group (transpose: M^T x) —
+    the [D, D, N] lane-major batched block application."""
+    out = {}
+    for name, M in mats_lane.items():
+        if transpose:
+            out[name] = (M * xT[name][:, None, :]).sum(axis=0)
+        else:
+            out[name] = (M * xT[name][None]).sum(axis=1)
+    return out
+
+
 def ell_matvec_lane(problem, pattern: EllPattern, values, xT: dict,
                     extra_diagT: dict = None):
     """y = H x entirely in lane-major form: xT/yT are dicts group -> [D, N].

@@ -73,6 +73,45 @@ def _edge_se2_init(vparams, meas, pdata, slot):
     return np_lie.se2_compose(vparams[1], np_lie.se2_inverse(meas))
 
 
+def _edge_se2_jacobian(vparams, meas, pdata):
+    """Analytic linearizeOplus of EdgeSE2 (edge_se2.h:89, edge_se2.cpp):
+    with r = R(ti)^T (tj - ti), e_xy = R(z)^T (r - t_z):
+      de_xy/dti = -Rz^T Ri^T,  de_xy/dtj = Rz^T Ri^T,
+      de_xy/dthi = Rz^T (r_y, -r_x),  de_th/dthi = -1, de_th/dthj = +1.
+    The se2 retract is additive (+ angle normalization), so these are also
+    the tangent-increment Jacobians the solver needs. ~5x cheaper than the
+    jacfwd default on the Manhattan hot path; equivalence is tested against
+    jacfwd in tests/test_jacobians.py.
+    """
+    xi, xj = vparams
+    ci, si = jnp.cos(xi[2]), jnp.sin(xi[2])
+    cz, sz = jnp.cos(meas[2]), jnp.sin(meas[2])
+    dx, dy = xj[0] - xi[0], xj[1] - xi[1]
+    rx = ci * dx + si * dy
+    ry = -si * dx + ci * dy
+    # Rz^T Ri^T
+    rr00 = cz * ci - sz * si
+    rr01 = cz * si + sz * ci
+    rr10 = -(sz * ci + cz * si)
+    rr11 = -sz * si + cz * ci
+    # Rz^T (ry, -rx)
+    g0 = cz * ry - sz * rx
+    g1 = -(sz * ry + cz * rx)
+    zero = jnp.zeros_like(ci)
+    one = jnp.ones_like(ci)
+    ji = jnp.stack([
+        jnp.stack([-rr00, -rr01, g0]),
+        jnp.stack([-rr10, -rr11, g1]),
+        jnp.stack([zero, zero, -one]),
+    ])
+    jj = jnp.stack([
+        jnp.stack([rr00, rr01, zero]),
+        jnp.stack([rr10, rr11, zero]),
+        jnp.stack([zero, zero, one]),
+    ])
+    return ji, jj
+
+
 EDGE_SE2 = register_edge_type(EdgeType(
     name="edge_se2",
     tag="EDGE_SE2",
@@ -80,6 +119,7 @@ EDGE_SE2 = register_edge_type(EdgeType(
     error_dim=3,
     measurement_dim=3,
     error=_edge_se2_error,
+    jacobian=_edge_se2_jacobian,
     initial_estimate=_edge_se2_init,
 ))
 

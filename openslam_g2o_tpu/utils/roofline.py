@@ -99,8 +99,7 @@ def linearize_cost(problem, itemsize: int = 4) -> PhaseCost:
     flops = 0.0
     bts = 0.0
     for eg in problem.static.egroups:
-        ea = problem.edges[eg.key]
-        E = ea.count
+        E = eg.count
         d = eg.etype.error_dim
         dims = [problem.static.vgroup(g).tangent_dim for g in eg.slots]
         tsum = sum(dims)
@@ -121,9 +120,9 @@ def ba_ell_step_cost(problem, pattern, pcg_iters: int,
     lin = linearize_cost(problem, itemsize)
     flops, bts = lin.flops, lin.bytes
     pose_g = [g for g in problem.static.vgroups
-              if not g.marginalized]
-    lm_g = [g for g in problem.static.vgroups if g.marginalized]
-    n_obs = sum(problem.edges[eg.key].count for eg in problem.static.egroups)
+              if not g.vtype.marginalizable]
+    lm_g = [g for g in problem.static.vgroups if g.vtype.marginalizable]
+    n_obs = sum(eg.count for eg in problem.static.egroups)
     if lm_g:
         Dl = lm_g[0].tangent_dim
         L = lm_g[0].count
