@@ -1,0 +1,86 @@
+"""Linear-solver unit tests: PCG convergence/stall signalling and the
+closed-form batched Cholesky building blocks of the Jacobi-scaled CG path."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from openslam_g2o_tpu.core.solvers import (
+    batched_chol_inv_lower, batched_chol_lower, batched_small_inv, pcg_solve)
+
+
+class TestPCG:
+    def test_solves_spd_system(self):
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(8, 8))
+        A = A @ A.T + 8 * np.eye(8)
+        b = rng.normal(size=8)
+        Aj = jnp.asarray(A)
+        x, ok = pcg_solve(lambda v: Aj @ v, jnp.asarray(b), max_iter=50,
+                          tol=1e-10)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-4, atol=1e-6)
+
+    @pytest.mark.parametrize("unroll,norm", [(1, "true"), (2, "precond")])
+    def test_unroll_and_norm_variants_agree(self, unroll, norm):
+        rng = np.random.default_rng(1)
+        A = rng.normal(size=(12, 12))
+        A = A @ A.T + 12 * np.eye(12)
+        b = rng.normal(size=12)
+        Aj = jnp.asarray(A)
+        x, ok = pcg_solve(lambda v: Aj @ v, jnp.asarray(b), max_iter=60,
+                          tol=1e-10, unroll=unroll, norm=norm)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(A, b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_indefinite_system_flags_not_ok(self):
+        """Negative curvature must surface as ok=False (the stall signal a
+        GN caller needs; optimization_algorithm_levenberg.cpp:119-120
+        failure semantics), not a silently-diverged solution."""
+        A = jnp.asarray(np.diag([1.0, -1.0, 2.0]))
+        b = jnp.asarray(np.array([1.0, 1.0, 1.0]))
+        x, ok = pcg_solve(lambda v: A @ v, b, max_iter=10, tol=1e-12)
+        assert not bool(ok)
+        np.testing.assert_array_equal(np.asarray(x), 0.0)
+
+    def test_warm_start_converges(self):
+        rng = np.random.default_rng(2)
+        A = rng.normal(size=(10, 10))
+        A = A @ A.T + 10 * np.eye(10)
+        b = rng.normal(size=10)
+        Aj = jnp.asarray(A)
+        x_exact = np.linalg.solve(A, b)
+        x0 = jnp.asarray(x_exact + 0.01 * rng.normal(size=10))
+        x, ok = pcg_solve(lambda v: Aj @ v, jnp.asarray(b), x0=x0,
+                          max_iter=30, tol=1e-10)
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), x_exact, rtol=1e-5,
+                                   atol=1e-7)
+
+
+class TestBatchedChol:
+    @pytest.mark.parametrize("D", [1, 2, 3, 5])
+    def test_chol_and_inverse(self, D):
+        rng = np.random.default_rng(D)
+        M = rng.normal(size=(32, D, D))
+        A = M @ np.swapaxes(M, 1, 2) + 3 * np.eye(D)
+        L = np.asarray(batched_chol_lower(jnp.asarray(A)))
+        np.testing.assert_allclose(L @ np.swapaxes(L, 1, 2), A, rtol=1e-5,
+                                   atol=1e-8)
+        # lower triangular
+        assert np.allclose(np.triu(L, 1), 0.0)
+        Linv = np.asarray(batched_chol_inv_lower(jnp.asarray(A)))
+        np.testing.assert_allclose(Linv @ L,
+                                   np.broadcast_to(np.eye(D), A.shape),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("D", [1, 2, 3])
+    def test_small_inv(self, D):
+        rng = np.random.default_rng(10 + D)
+        M = rng.normal(size=(16, D, D))
+        A = M @ np.swapaxes(M, 1, 2) + 2 * np.eye(D)
+        inv = np.asarray(batched_small_inv(jnp.asarray(A)))
+        np.testing.assert_allclose(inv @ A,
+                                   np.broadcast_to(np.eye(D), A.shape),
+                                   rtol=1e-4, atol=1e-5)
