@@ -90,16 +90,17 @@ def run_tpu_manhattan():
     elapsed = time.monotonic() - t0
     st = out[:4]
     # converge: more forcing steps, then warm-started tight-tolerance polish
-    # for parity (reaches 146.076 = the reference minimum at f32; see
-    # CLAUDE.md recorded runs)
+    # to the reference minimum itself (146.076 at f32) — not merely the
+    # gate: chi2 146.3 still hides ~1.5 m of trajectory deformation, ATE
+    # collapses to ~0.02 m only at the minimum (recorded in CLAUDE.md)
     out = run10(st)
     st = out[:4]
     polish = lambda s, n: lm_pcg_optimize_fused(
         prob, pattern, *s, n_iters=n, pcg_iters=600, pcg_tol=1e-6, warm=True)
     out = polish(st, 10)
     st = out[:4]
-    for _ in range(3):
-        if float(st[3]) <= CONVERGED_CHI2 * CHI2_GATE:
+    for _ in range(5):
+        if float(st[3]) <= CONVERGED_CHI2 * 1.0005:
             break
         out = polish(st, 10)
         st = out[:4]
@@ -325,7 +326,12 @@ def run_incremental():
     """Online/incremental engine throughput: replay intel.g2o as an
     ADD/SOLVE protocol stream (solve every 50 vertices, 2 iterations each —
     the reference CLI's incremental mode shape, g2o.cpp:350-532), fixed
-    shape bucket so the jit cache is hit after one compile."""
+    shape bucket (2048) so the whole replay is ONE jit cache entry.
+
+    Runs the replay twice in-process: the cold pass pays the compile, the
+    warm pass measures the engine's steady-state throughput — the honest
+    serving number for a long-running incremental session (the reference's
+    incremental engine likewise amortizes its symbolic analysis)."""
     import jax.numpy as jnp
     from openslam_g2o_tpu.io.g2o_format import load_g2o
     from openslam_g2o_tpu.core.online import OnlineOptimizer
@@ -338,56 +344,66 @@ def run_incremental():
         anchor = max(e.vertex_ids)
         by_new_vertex.setdefault(anchor, []).append(e)
 
-    # dense LM: its jit cache key depends only on the bucket shape (the ELL
-    # pattern would change with every added edge), so the replay compiles
-    # twice total (943 vertices stay in the 1024 bucket; 1837 edges cross
-    # 1024 -> 2048 once)
-    from openslam_g2o_tpu.core.online import bucket_pow2
-    oo = OnlineOptimizer(algorithm=LevenbergMarquardt(),
-                         iterations_per_solve=2, dtype=jnp.float32,
-                         bucket=lambda n, minimum=64: max(
-                             1024, bucket_pow2(n, minimum)))
-    t0 = time.monotonic()
-    n_solves = 0
-    for k, vid in enumerate(ids):
-        rec = g.vertices[vid]
-        oo.add_vertex(vid, rec.vtype.name, rec.params)
-        if k == 0:
-            oo.fix(vid)
-        for e in by_new_vertex.get(vid, []):
-            oo.add_edge(e.etype.name, e.vertex_ids, e.measurement,
-                        e.information)
-        if k > 0 and k % 50 == 0:
-            oo.solve()
-            n_solves += 1
-    oo.solve()
-    n_solves += 1
-    elapsed = time.monotonic() - t0
+    def replay():
+        oo = OnlineOptimizer(algorithm=LevenbergMarquardt(),
+                             iterations_per_solve=2, dtype=jnp.float32,
+                             bucket=lambda n, minimum=64: 2048)
+        t0 = time.monotonic()
+        n_solves = 0
+        for k, vid in enumerate(ids):
+            rec = g.vertices[vid]
+            oo.add_vertex(vid, rec.vtype.name, rec.params)
+            if k == 0:
+                oo.fix(vid)
+            for e in by_new_vertex.get(vid, []):
+                oo.add_edge(e.etype.name, e.vertex_ids, e.measurement,
+                            e.information)
+            if k > 0 and k % 50 == 0:
+                oo.solve()
+                n_solves += 1
+        oo.solve()
+        n_solves += 1
+        return oo, n_solves, time.monotonic() - t0
+
+    oo, n_solves, cold = replay()
+    _, _, warm = replay()
     stats = oo.session_stats()
     from openslam_g2o_tpu.core import problem as P
     final_chi = float(P.chi2(oo.graph.compile(dtype=jnp.float32)))
     return {
         "dataset": "intel",
-        "vertices_per_sec": round(len(ids) / elapsed, 1),
-        "solves_per_sec": round(n_solves / elapsed, 2),
+        "vertices_per_sec": round(len(ids) / warm, 1),
+        "solves_per_sec": round(n_solves / warm, 2),
         "final_chi2": round(final_chi, 2),
         "shape_buckets_compiled": stats["shape_buckets_compiled"],
-        "total_seconds": round(elapsed, 2),
+        "cold_seconds_incl_compile": round(cold, 2),
+        "warm_seconds": round(warm, 2),
     }
+
+
+def _progress(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
 def main():
     from openslam_g2o_tpu.utils.ate import ate_rmse
     from openslam_g2o_tpu.utils import roofline as RL
 
+    _progress("manhattan LM-PCG (timed + converge)")
     tpu_ips, tpu_chi, est_xy = run_tpu_manhattan()
+    _progress(f"manhattan done: {tpu_ips:.1f} it/s chi {tpu_chi:.3f}")
     pcg_roof = run_pcg_roofline()
+    _progress("pcg roofline done")
     ba80 = run_tpu_ba(n_cams=100, n_points=10000, obs_per_point=8,
                       pcg_iters=30, pcg_tol=0.05)
+    _progress(f"ba80k done: {ba80[0]:.2f} it/s")
     ba400 = run_tpu_ba(n_cams=900, n_points=50000, obs_per_point=8,
                        pcg_iters=30, pcg_tol=0.05, n_timed=5, n_converge=5)
+    _progress(f"ba400k done: {ba400[0]:.2f} it/s")
     incr = run_incremental()
+    _progress(f"incremental done: {incr['vertices_per_sec']} v/s")
     base_ips, base_chi, ref_xy = run_cpu_baseline()
+    _progress(f"cpu baseline done: {base_ips:.2f} it/s")
     ate_manhattan = float(ate_rmse(est_xy, ref_xy))
     converged = tpu_chi < CONVERGED_CHI2 * CHI2_GATE
     print(json.dumps({
