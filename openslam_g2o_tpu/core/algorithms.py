@@ -164,10 +164,11 @@ class LevenbergMarquardt:
 # Levenberg-Marquardt with matrix-free PCG
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol",
+                                   "pcg_cheby"))
 def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
                  dx0T=None, max_trials: int = 10, pcg_iters: int = 150,
-                 pcg_tol: float = 1e-8):
+                 pcg_tol: float = 1e-8, pcg_cheby: int = 0):
     """LM iteration solving H dx = b by block-ELL matrix-free PCG.
 
     The Hessian lives in the block-ELL layout (core/sparse.py): assembly is
@@ -182,13 +183,23 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     near the basin consecutive Newton systems are close, so warm-started CG
     reaches much deeper per LM iteration; used by the polish phase. Returns
     a 7-tuple ending with the accepted step's dxT for threading.
+
+    pcg_cheby > 1 wraps the Jacobi-scaled CG in a degree-(pcg_cheby-1)
+    Chebyshev polynomial preconditioner bracketed by the Gershgorin bound
+    of the scaled system — ~pcg_cheby-fold fewer outer CG iterations for
+    the same matvec work, amortizing the latency-bound per-iteration
+    overhead (solvers.make_chebyshev_precond). pcg_iters then counts OUTER
+    iterations, so callers should divide their plain-CG budget by
+    pcg_cheby.
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag, ell_matvec_lane, ell_scale_jacobi,
+        assemble_ell, ell_add_diag, ell_gershgorin_bound,
+        ell_matvec_lane_kmajor, ell_scale_jacobi, ell_values_to_kmajor,
         lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
-        _tree_dot, batched_chol_inv_lower, batched_chol_lower, pcg_solve)
+        _tree_dot, batched_chol_inv_lower, batched_chol_lower,
+        make_chebyshev_precond, pcg_solve)
 
     work = prob.with_params(params)
     lin = linearize(work)
@@ -199,6 +210,9 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     bT = {k: v.T for k, v in b.items()}
     eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
             for g in work.static.vgroups}
+    # transposed neighbor tables for the K-major hot-loop matvec, computed
+    # once per step (outside the trial/CG loops)
+    nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -224,18 +238,28 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         linv = {name: batched_chol_inv_lower(dblocks[name])
                 for name in dblocks}
         svals = ell_scale_jacobi(work, pattern, damped_vals, linv)
+        svals_k = ell_values_to_kmajor(work, pattern, svals)
         linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
                      for name in linv}                     # [D, D, N]
         bhatT = lane_block_mv(linv_lane, bT)               # Linv b
-        mv = lambda xT: ell_matvec_lane(work, pattern, svals, xT)
+        mv = lambda xT: ell_matvec_lane_kmajor(work, pattern, svals_k, xT,
+                                               nbT=nbT)
         if dx0T is not None:
             lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
                                         0, -1) for name in dblocks}
             x0hat = lane_block_mv(lchol, dx0T, transpose=True)   # L^T dx0
         else:
             x0hat = None
-        xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters,
-                             tol=pcg_tol, unroll=2, norm="precond", x0=x0hat)
+        if pcg_cheby > 1:
+            hi = ell_gershgorin_bound(work, pattern, svals)
+            pre = make_chebyshev_precond(mv, hi * 0.02, hi, pcg_cheby)
+            xhat, ok = pcg_solve(mv, bhatT, precond=pre, max_iter=pcg_iters,
+                                 tol=pcg_tol, unroll=1, norm="precond",
+                                 x0=x0hat)
+        else:
+            xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters,
+                                 tol=pcg_tol, unroll=2, norm="precond",
+                                 x0=x0hat)
         dxT = lane_block_mv(linv_lane, xhat, transpose=True)     # L^-T xhat
         dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
@@ -335,11 +359,11 @@ class LevenbergMarquardtPCG:
 
 @partial(jax.jit,
          static_argnames=("n_iters", "max_trials", "pcg_iters", "pcg_tol",
-                          "warm"))
+                          "warm", "pcg_cheby"))
 def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
                           chi, n_iters: int = 10, max_trials: int = 10,
                           pcg_iters: int = 75, pcg_tol: float = 1e-8,
-                          warm: bool = False):
+                          warm: bool = False, pcg_cheby: int = 0):
     """Run n_iters LM-PCG iterations as ONE device program (lax.scan) — no
     host round-trip between iterations. The production serving shape: the
     whole optimization is a single XLA executable.
@@ -356,7 +380,7 @@ def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
         params, lam, ni, chi, trials, ok, dxT_new = _lm_pcg_step.__wrapped__(
             prob, pattern, params, lam, ni, chi,
             dx0T=dxT if warm else None, max_trials=max_trials,
-            pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+            pcg_iters=pcg_iters, pcg_tol=pcg_tol, pcg_cheby=pcg_cheby)
         return (params, lam, ni, chi, dxT_new), chi
 
     (params, lam, ni, chi, _), traj = jax.lax.scan(

@@ -399,6 +399,31 @@ def ell_scale_jacobi(problem, pattern: EllPattern, values, linv: dict):
     return tuple(out)
 
 
+def ell_gershgorin_bound(problem, pattern: EllPattern, values):
+    """Upper bound on lambda_max of the block-ELL matrix: the Gershgorin
+    row bound max_row sum_col |H[row, col]| computed directly on the
+    lane-major value tables (3 ops per pair table, no matvec).
+
+    Used to bracket the spectrum of the Jacobi-scaled system for the
+    Chebyshev polynomial preconditioner: the bound is SAFE (never below the
+    true lambda_max), so the Chebyshev polynomial stays positive on the
+    whole spectrum and the preconditioner stays SPD.
+    """
+    rowsum = {g.name: jnp.zeros((g.tangent_dim, g.count),
+                                dtype=problem.dtype)
+              for g in problem.static.vgroups}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        V = values[pid].reshape(Dr, Dc, rg.count, pattern.K[pid])
+        rowsum[rg_name] = rowsum[rg_name] + jnp.abs(V).sum(axis=(1, 3))
+    hi = jnp.zeros((), problem.dtype)
+    for name, rs in rowsum.items():
+        hi = jnp.maximum(hi, jnp.max(rs))
+    return jnp.maximum(hi, jnp.asarray(1e-3, problem.dtype))
+
+
 def lane_block_mv(mats_lane: dict, xT: dict, transpose: bool = False):
     """y[a, n] = sum_b M[a, b, n] x[b, n] per group (transpose: M^T x) —
     the [D, D, N] lane-major batched block application."""
@@ -436,6 +461,49 @@ def ell_matvec_lane(problem, pattern: EllPattern, values, xT: dict,
         yT[rg_name] = yT[rg_name] + (V * xg[None]).sum(axis=(1, 3))
     if extra_diagT is not None:
         yT = {k: yT[k] + extra_diagT[k] * xT[k] for k in yT}
+    return yT
+
+
+def ell_values_to_kmajor(problem, pattern: EllPattern, values):
+    """Re-lay the ELL value tables [Dr*Dc, N, K] -> [Dr*Dc, K, N].
+
+    In the [.., N, K] form the tiny neighbor axis K (~4-16 on pose graphs)
+    sits on the LANE axis and pads to 128 — the matvec then runs at <10%
+    lane utilization with relayouts on every reshape (measured 74 us on
+    Manhattan3500, ~45x above its HBM-bandwidth bound). With N on lanes and
+    K on sublanes every hot-loop array is densely tiled. One transpose per
+    LM trial, outside the CG while_loop.
+    """
+    out = []
+    for pid in range(len(pattern.pairs)):
+        out.append(jnp.swapaxes(values[pid], 1, 2))     # [Dr*Dc, K, N]
+    return tuple(out)
+
+
+def ell_matvec_lane_kmajor(problem, pattern: EllPattern, values_k, xT: dict,
+                           nbT=None):
+    """y = H x with K-major value tables ([Dr*Dc, K, N], N on lanes).
+
+    The gather runs along lanes with a [K, N] index table whose flat
+    (k-major) order matches the reshape split [Dc, K*N] -> [Dc, K, N], so
+    no relayout is introduced; the contraction is a dense multiply +
+    (Dc, K)-axis reduce over N-lane tiles. This is the PCG hot-loop matvec.
+
+    nbT: optional precomputed tuple of [K, N] transposed neighbor tables
+    (pass from outside the loop to avoid re-transposing per iteration).
+    """
+    yT = {g.name: jnp.zeros((g.tangent_dim, g.count), dtype=problem.dtype)
+          for g in problem.static.vgroups}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        K = pattern.K[pid]
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        idx = nbT[pid] if nbT is not None else pattern.nb_idx[pid].T
+        xg = jnp.take(xT[cg_name], idx.reshape(-1), axis=1)
+        xg = xg.reshape(Dc, K, rg.count)                 # [Dc, K, N]
+        V = values_k[pid].reshape(Dr, Dc, K, rg.count)
+        yT[rg_name] = yT[rg_name] + (V * xg[None]).sum(axis=(1, 2))
     return yT
 
 

@@ -84,3 +84,64 @@ class TestBatchedChol:
         np.testing.assert_allclose(inv @ A,
                                    np.broadcast_to(np.eye(D), A.shape),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestChebyshevPrecond:
+    """Chebyshev polynomial preconditioner: SPD for any spectrum in
+    (0, hi], and CG under it reaches the same solution in fewer outer
+    iterations (solvers.make_chebyshev_precond)."""
+
+    def _scaled_spd(self, n=60, seed=3):
+        rng = np.random.default_rng(seed)
+        A = rng.normal(size=(n, n))
+        A = A @ A.T / n + 0.05 * np.eye(n)
+        d = np.sqrt(np.diag(A))
+        return A / d[:, None] / d[None, :]
+
+    def test_preconditioner_is_spd_under_gershgorin_bound(self):
+        from openslam_g2o_tpu.core.solvers import make_chebyshev_precond
+        S = self._scaled_spd()
+        n = S.shape[0]
+        Sj = jnp.asarray(S)
+        hi = jnp.asarray(np.abs(S).sum(axis=1).max())   # Gershgorin
+        pre = make_chebyshev_precond(lambda v: Sj @ v, hi * 0.02, hi, 4)
+        P = np.column_stack(
+            [np.asarray(pre(jnp.eye(n)[:, i])) for i in range(n)])
+        ev = np.linalg.eigvalsh((P + P.T) / 2)
+        assert ev.min() > 0
+
+    def test_cheby_cg_matches_direct_solve(self):
+        from openslam_g2o_tpu.core.solvers import make_chebyshev_precond
+        S = self._scaled_spd(seed=5)
+        rng = np.random.default_rng(6)
+        b = rng.normal(size=S.shape[0])
+        Sj = jnp.asarray(S)
+        hi = jnp.asarray(np.abs(S).sum(axis=1).max())
+        pre = make_chebyshev_precond(lambda v: Sj @ v, hi * 0.02, hi, 4)
+        x, ok = pcg_solve(lambda v: Sj @ v, jnp.asarray(b), precond=pre,
+                          max_iter=60, tol=1e-10, norm="precond")
+        assert bool(ok)
+        np.testing.assert_allclose(np.asarray(x), np.linalg.solve(S, b),
+                                   rtol=1e-6, atol=1e-8)
+
+    def test_fewer_outer_iterations_than_plain_cg(self):
+        from openslam_g2o_tpu.core.solvers import make_chebyshev_precond
+        S = self._scaled_spd(n=150, seed=9)
+        rng = np.random.default_rng(10)
+        b = rng.normal(size=S.shape[0])
+        Sj = jnp.asarray(S)
+        bj = jnp.asarray(b)
+        hi = jnp.asarray(np.abs(S).sum(axis=1).max())
+        pre = make_chebyshev_precond(lambda v: Sj @ v, hi * 0.02, hi, 6)
+
+        def iters_to(pre_fn, tol=1e-8):
+            for it in range(2, 200, 2):
+                x, _ = pcg_solve(lambda v: Sj @ v, bj, precond=pre_fn,
+                                 max_iter=it, tol=0.0, norm="precond")
+                rel = float(jnp.linalg.norm(Sj @ x - bj)
+                            / jnp.linalg.norm(bj))
+                if rel < tol:
+                    return it
+            return 200
+
+        assert iters_to(pre) < iters_to(None) // 2

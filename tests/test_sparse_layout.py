@@ -189,3 +189,59 @@ class TestDiagFoldAndScaling:
         dx_ref = np.linalg.solve(Hd, np.asarray(bd))
         dx = np.concatenate([np.asarray(dxT["se2"]).T.reshape(-1)])
         np.testing.assert_allclose(dx, dx_ref, rtol=1e-4, atol=1e-5)
+
+
+class TestKMajorMatvec:
+    """The K-major hot-loop matvec ([Dr*Dc, K, N], N on lanes) must agree
+    digit-exactly with the reference [.., N, K] layout, and the Gershgorin
+    bound must dominate the true spectral radius."""
+
+    def _system(self):
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.io.g2o_format import load_g2o
+        from openslam_g2o_tpu.core.problem import linearize
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern, assemble_ell
+        g = load_g2o("/root/reference/data/2d/intel/intel.g2o")
+        if g.gauge_freedom():
+            g.set_fixed(g.find_gauge(), True)
+        prob = g.compile(dtype=jnp.float64)
+        pattern = build_ell_pattern(prob)
+        values, b = assemble_ell(prob, pattern, linearize(prob))
+        return prob, pattern, values, b
+
+    def test_kmajor_matches_reference_layout(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.core.sparse import (
+            ell_matvec_lane, ell_matvec_lane_kmajor, ell_values_to_kmajor)
+        prob, pattern, values, _ = self._system()
+        rng = np.random.default_rng(2)
+        xT = {g.name: jnp.asarray(
+            rng.standard_normal((g.tangent_dim, g.count)))
+            for g in prob.static.vgroups}
+        y0 = ell_matvec_lane(prob, pattern, values, xT)
+        vk = ell_values_to_kmajor(prob, pattern, values)
+        y1 = ell_matvec_lane_kmajor(prob, pattern, vk, xT)
+        for k in y0:
+            np.testing.assert_array_equal(np.asarray(y0[k]),
+                                          np.asarray(y1[k]))
+
+    def test_gershgorin_dominates_power_iteration(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.core.sparse import (
+            ell_matvec_lane, ell_gershgorin_bound)
+        from openslam_g2o_tpu.core.solvers import _tree_dot
+        prob, pattern, values, _ = self._system()
+        hi = float(ell_gershgorin_bound(prob, pattern, values))
+        rng = np.random.default_rng(3)
+        x = {g.name: jnp.asarray(
+            rng.standard_normal((g.tangent_dim, g.count)))
+            for g in prob.static.vgroups}
+        for _ in range(30):
+            y = ell_matvec_lane(prob, pattern, values, x)
+            nrm = jnp.sqrt(_tree_dot(y, y))
+            x = {k: v / nrm for k, v in y.items()}
+        lmax = float(_tree_dot(x, ell_matvec_lane(prob, pattern, values, x))
+                     / _tree_dot(x, x))
+        assert hi >= lmax > 0
