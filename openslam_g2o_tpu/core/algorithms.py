@@ -194,9 +194,9 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag, ell_gershgorin_bound,
-        ell_matvec_lane_kmajor, ell_scale_jacobi, ell_values_to_kmajor,
-        lane_block_mv)
+        assemble_ell, ell_add_diag_kmajor, ell_gershgorin_bound,
+        ell_matvec_lane_kmajor, ell_scale_jacobi_kmajor,
+        ell_values_to_kmajor, lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         _tree_dot, batched_chol_inv_lower, batched_chol_lower,
         make_chebyshev_precond, pcg_solve)
@@ -210,9 +210,13 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     bT = {k: v.T for k, v in b.items()}
     eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
             for g in work.static.vgroups}
-    # transposed neighbor tables for the K-major hot-loop matvec, computed
-    # once per step (outside the trial/CG loops)
+    # the whole per-trial pipeline runs K-major ([Dr*Dc, K, N], N on lanes):
+    # value transpose + index/mask transposes happen once per STEP here,
+    # outside the trial and CG loops
     nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
+    self_maskT = tuple(None if m is None else m.T
+                       for m in pattern.self_mask)
+    values_k = ell_values_to_kmajor(work, pattern, values)
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -231,14 +235,15 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         # semantics.
         extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
                  for g in work.static.vgroups}
-        damped_vals = ell_add_diag(work, pattern, values, extra)
+        damped_k = ell_add_diag_kmajor(work, pattern, values_k, extra,
+                                       self_maskT=self_maskT)
         dblocks = {name: diag_blocks[name]
                    + extra[name][:, None, None] * eyes[name][None]
                    for name in diag_blocks}
         linv = {name: batched_chol_inv_lower(dblocks[name])
                 for name in dblocks}
-        svals = ell_scale_jacobi(work, pattern, damped_vals, linv)
-        svals_k = ell_values_to_kmajor(work, pattern, svals)
+        svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
+                                          nbT=nbT)
         linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
                      for name in linv}                     # [D, D, N]
         bhatT = lane_block_mv(linv_lane, bT)               # Linv b
@@ -251,7 +256,7 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         else:
             x0hat = None
         if pcg_cheby > 1:
-            hi = ell_gershgorin_bound(work, pattern, svals)
+            hi = ell_gershgorin_bound(work, pattern, svals_k, kmajor=True)
             pre = make_chebyshev_precond(mv, hi * 0.02, hi, pcg_cheby)
             xhat, ok = pcg_solve(mv, bhatT, precond=pre, max_iter=pcg_iters,
                                  tol=pcg_tol, unroll=1, norm="precond",

@@ -399,7 +399,8 @@ def ell_scale_jacobi(problem, pattern: EllPattern, values, linv: dict):
     return tuple(out)
 
 
-def ell_gershgorin_bound(problem, pattern: EllPattern, values):
+def ell_gershgorin_bound(problem, pattern: EllPattern, values,
+                         kmajor: bool = False):
     """Upper bound on lambda_max of the block-ELL matrix: the Gershgorin
     row bound max_row sum_col |H[row, col]| computed directly on the
     lane-major value tables (3 ops per pair table, no matvec).
@@ -408,6 +409,9 @@ def ell_gershgorin_bound(problem, pattern: EllPattern, values):
     Chebyshev polynomial preconditioner: the bound is SAFE (never below the
     true lambda_max), so the Chebyshev polynomial stays positive on the
     whole spectrum and the preconditioner stays SPD.
+
+    kmajor: values are [Dr*Dc, K, N] tables (the hot-loop layout) instead
+    of [Dr*Dc, N, K].
     """
     rowsum = {g.name: jnp.zeros((g.tangent_dim, g.count),
                                 dtype=problem.dtype)
@@ -416,12 +420,67 @@ def ell_gershgorin_bound(problem, pattern: EllPattern, values):
         rg = problem.static.vgroup(rg_name)
         cg = problem.static.vgroup(cg_name)
         Dr, Dc = rg.tangent_dim, cg.tangent_dim
-        V = values[pid].reshape(Dr, Dc, rg.count, pattern.K[pid])
-        rowsum[rg_name] = rowsum[rg_name] + jnp.abs(V).sum(axis=(1, 3))
+        if kmajor:
+            V = values[pid].reshape(Dr, Dc, pattern.K[pid], rg.count)
+            rowsum[rg_name] = rowsum[rg_name] + jnp.abs(V).sum(axis=(1, 2))
+        else:
+            V = values[pid].reshape(Dr, Dc, rg.count, pattern.K[pid])
+            rowsum[rg_name] = rowsum[rg_name] + jnp.abs(V).sum(axis=(1, 3))
     hi = jnp.zeros((), problem.dtype)
     for name, rs in rowsum.items():
         hi = jnp.maximum(hi, jnp.max(rs))
     return jnp.maximum(hi, jnp.asarray(1e-3, problem.dtype))
+
+
+def ell_add_diag_kmajor(problem, pattern: EllPattern, values_k, extra: dict,
+                        self_maskT=None):
+    """K-major form of ell_add_diag: fold a per-vertex scalar diagonal term
+    into [Dr*Dc, K, N] value tables (N on lanes).
+
+    self_maskT: optional tuple of [K, N] transposed self masks (pass from
+    outside the trial loop to avoid re-transposing per trial)."""
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        v = values_k[pid]
+        if rg_name != cg_name or pattern.self_mask[pid] is None:
+            out.append(v)
+            continue
+        rg = problem.static.vgroup(rg_name)
+        D = rg.tangent_dim
+        eye_flat = jnp.reshape(jnp.eye(D, dtype=v.dtype), (-1,))
+        sm = (self_maskT[pid] if self_maskT is not None
+              else pattern.self_mask[pid].T)
+        add = sm.astype(v.dtype) * extra[rg_name][None, :]      # [K, N]
+        out.append(v + eye_flat[:, None, None] * add[None])
+    return tuple(out)
+
+
+def ell_scale_jacobi_kmajor(problem, pattern: EllPattern, values_k,
+                            linv: dict, nbT=None):
+    """K-major form of ell_scale_jacobi: block(i, j) -> Linv_i B Linv_j^T on
+    [Dr*Dc, K, N] tables. Every intermediate keeps N on the lane axis (the
+    [.., N, K] form pads K to 128 lanes and relayouts per reshape).
+
+    linv: dict group -> [N, D, D]; nbT: optional [K, N] neighbor tables."""
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        K = pattern.K[pid]
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        B = values_k[pid].reshape(Dr, Dc, K, rg.count)
+        Li = jnp.moveaxis(linv[rg_name], 0, -1)         # [Dr, Dr, N]
+        # C[a, c, k, n] = sum_b Li[a, b, n] B[b, c, k, n]
+        C = (Li[:, :, None, None, :] * B[None]).sum(axis=1)
+        LjT = jnp.moveaxis(linv[cg_name], 0, -1)        # [Dc, Dc, Ncol]
+        idx = nbT[pid] if nbT is not None else pattern.nb_idx[pid].T
+        Ljg = jnp.take(LjT.reshape(Dc * Dc, cg.count), idx.reshape(-1),
+                       axis=1)
+        Ljg = Ljg.reshape(Dc, Dc, K, rg.count)          # [d, c, K, N]
+        # out[a, d, k, n] = sum_c C[a, c, k, n] Linv_j[d, c, k, n]
+        S = (C[:, None] * Ljg[None]).sum(axis=2)
+        out.append(S.reshape(Dr * Dc, K, rg.count))
+    return tuple(out)
 
 
 def lane_block_mv(mats_lane: dict, xT: dict, transpose: bool = False):
