@@ -208,7 +208,11 @@ def main(argv=None):
                    # linear_solver_pcg.h:62-75): iteration budget and the
                    # inexact-Newton forcing tolerance (relative residual)
                    "pcgIterations": "pcg_iters",
-                   "pcgTolerance": "pcg_tol"}.get(k.strip())
+                   "pcgTolerance": "pcg_tol",
+                   # degree of the Chebyshev polynomial preconditioner
+                   # (solvers.make_chebyshev_precond); 0/1 = plain
+                   # Jacobi-scaled CG
+                   "pcgChebyshevDegree": "pcg_cheby"}.get(k.strip())
             if key is None:
                 print(f"# ignoring unknown solver property {k}", file=sys.stderr)
             else:

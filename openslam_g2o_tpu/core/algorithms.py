@@ -319,17 +319,21 @@ class LevenbergMarquardtPCG:
 
     def __init__(self, initial_lambda: float = 0.0,
                  max_trials_after_failure: int = 10, tau: float = 1e-5,
-                 pcg_iters: int = 150, pcg_tol: float = 1e-8):
+                 pcg_iters: int = 150, pcg_tol: float = 1e-8,
+                 pcg_cheby: int = 0):
         """pcg_tol is the inexact-Newton forcing tolerance (relative
         residual); LM's gain-ratio test guards step quality, so loose
         tolerances (1e-2) are safe and much cheaper on large graphs —
         mirrors LinearSolverPCG's tolerance property
-        (linear_solver_pcg.h:62-75)."""
+        (linear_solver_pcg.h:62-75). pcg_cheby > 1 enables the Chebyshev
+        polynomial preconditioner (pcg_iters then counts outer
+        iterations)."""
         self.initial_lambda = initial_lambda
         self.max_trials = max_trials_after_failure
         self.tau = tau
         self.pcg_iters = pcg_iters
         self.pcg_tol = pcg_tol
+        self.pcg_cheby = pcg_cheby
         self._pattern = None
         self._pattern_for = None
 
@@ -355,7 +359,8 @@ class LevenbergMarquardtPCG:
         params, lam, ni, chi, trials, accepted, _ = _lm_pcg_step(
             prob, self.pattern(prob), state["params"], state["lam"],
             state["ni"], state["chi2"], max_trials=self.max_trials,
-            pcg_iters=self.pcg_iters, pcg_tol=self.pcg_tol)
+            pcg_iters=self.pcg_iters, pcg_tol=self.pcg_tol,
+            pcg_cheby=self.pcg_cheby)
         new_state = {"params": params, "lam": lam, "ni": ni, "chi2": chi}
         info = {"chi2": float(chi), "lambda": float(lam),
                 "levenberg_iters": int(trials), "ok": bool(accepted)}
