@@ -215,6 +215,17 @@ def main(argv=None):
                    "pcgChebyshevDegree": "pcg_cheby"}.get(k.strip())
             if key is None:
                 print(f"# ignoring unknown solver property {k}", file=sys.stderr)
+            elif key in ("pcg_cheby", "pcg_iters", "max_trials_after_failure"):
+                # integer-valued knobs: accept "4", "4.0", "4e0" but reject
+                # genuine fractions with a clear message (a float degree
+                # would otherwise surface as an opaque TypeError inside jit
+                # tracing, deep in make_chebyshev_precond)
+                fv = float(v)
+                if fv != int(fv):
+                    print(f"# solver property {k} must be an integer, "
+                          f"got {v!r}; ignoring", file=sys.stderr)
+                else:
+                    props[key] = int(fv)
             else:
                 props[key] = float(v) if "." in v or "e" in v.lower() else int(float(v))
     dtype = jnp.float32 if args.f32 else jnp.float64

@@ -1,5 +1,6 @@
-"""Outer nonlinear least-squares iteration strategies: Gauss-Newton and
-Levenberg-Marquardt (Dogleg in core/dogleg.py).
+"""Outer nonlinear least-squares iteration strategies: Gauss-Newton,
+Levenberg-Marquardt (dense and matrix-free PCG variants), and Dogleg —
+all in this module.
 
 Functional re-design of g2o's OptimizationAlgorithm hierarchy
 (g2o/core/optimization_algorithm.h:47, optimization_algorithm_gauss_newton.cpp
@@ -30,6 +31,16 @@ from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
 
 __all__ = ["GaussNewton", "LevenbergMarquardt", "LevenbergMarquardtPCG",
            "Dogleg", "optimize", "TerminateCriterion"]
+
+# Lower edge of the Chebyshev spectral bracket, as a fraction of the
+# Gershgorin upper bound of the Jacobi-SCALED system. The scaled system has
+# unit diagonal blocks, so its spectrum clusters near 1 with hi typically
+# 2-8; lambda_min can sit far below lo (late-LM small-lambda systems do),
+# which only WEAKENS the preconditioner — it stays SPD for any lo > 0
+# (make_chebyshev_precond docstring). 0.02 measured best on the bundled 2D
+# pose graphs at degrees 3-4; raise it for better-conditioned systems,
+# lower it when late-stage iteration counts matter more than early ones.
+_CHEBY_LO_FRAC = 0.02
 
 
 # ---------------------------------------------------------------------------
@@ -188,9 +199,10 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     Chebyshev polynomial preconditioner bracketed by the Gershgorin bound
     of the scaled system — ~pcg_cheby-fold fewer outer CG iterations for
     the same matvec work, amortizing the latency-bound per-iteration
-    overhead (solvers.make_chebyshev_precond). pcg_iters then counts OUTER
-    iterations, so callers should divide their plain-CG budget by
-    pcg_cheby.
+    overhead (solvers.make_chebyshev_precond). pcg_iters keeps counting
+    MATVECS: the outer-iteration budget is scaled internally to
+    pcg_iters // pcg_cheby, so enabling the preconditioner never inflates
+    the matvec work past the plain-CG budget.
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
@@ -257,8 +269,10 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
             x0hat = None
         if pcg_cheby > 1:
             hi = ell_gershgorin_bound(work, pattern, svals_k, kmajor=True)
-            pre = make_chebyshev_precond(mv, hi * 0.02, hi, pcg_cheby)
-            xhat, ok = pcg_solve(mv, bhatT, precond=pre, max_iter=pcg_iters,
+            pre = make_chebyshev_precond(mv, hi * _CHEBY_LO_FRAC, hi,
+                                         pcg_cheby)
+            xhat, ok = pcg_solve(mv, bhatT, precond=pre,
+                                 max_iter=max(pcg_iters // pcg_cheby, 1),
                                  tol=pcg_tol, unroll=1, norm="precond",
                                  x0=x0hat)
         else:
@@ -326,8 +340,13 @@ class LevenbergMarquardtPCG:
         tolerances (1e-2) are safe and much cheaper on large graphs —
         mirrors LinearSolverPCG's tolerance property
         (linear_solver_pcg.h:62-75). pcg_cheby > 1 enables the Chebyshev
-        polynomial preconditioner (pcg_iters then counts outer
-        iterations)."""
+        polynomial preconditioner; pcg_iters still counts matvecs (the
+        outer budget scales down internally). NOTE: Chebyshev trades MORE
+        total matvecs for fewer outer iterations, so it only wins in
+        latency-dominated regimes (tiny graphs, where the ~30-op
+        per-iteration overhead dwarfs the matvec); plain Jacobi-scaled CG
+        is the right default once the matvec itself is the cost (measured
+        on Manhattan3500 — see CLAUDE.md)."""
         self.initial_lambda = initial_lambda
         self.max_trials = max_trials_after_failure
         self.tau = tau

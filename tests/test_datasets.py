@@ -43,6 +43,22 @@ class TestIntel:
         _, stats_lm = optimize(prob, LevenbergMarquardt(), iterations=12)
         assert abs(stats_gn[-1]["chi2"] - stats_lm[-1]["chi2"]) < 1.0
 
+    def test_lm_pcg_chebyshev_converges_end_to_end(self, intel):
+        """End-to-end LM-PCG with the Chebyshev polynomial preconditioner
+        (pcg_cheby=4): must reach the recorded basin (546.46), exercising
+        the full _lm_pcg_step Chebyshev branch — Gershgorin bracket,
+        internal outer-budget scaling, precond-norm stopping — not just
+        make_chebyshev_precond in isolation."""
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+        prob = intel.compile()
+        out, stats = optimize(
+            prob, LevenbergMarquardtPCG(pcg_cheby=4, pcg_iters=120,
+                                        pcg_tol=1e-8),
+            iterations=15,
+            terminate=TerminateCriterion(gain_threshold=1e-9))
+        assert stats[-1]["chi2"] < 547.0
+        assert stats[-1]["chi2"] > 500.0
+
 
 class TestSphere:
     def test_lm_pcg_converges_to_reference_basin(self):
