@@ -1,4 +1,4 @@
-"""Scatter-free bundle adjustment: dual-ELL Schur solver.
+"""Scatter-free bundle adjustment: dual-ELL Schur solver, lane-major.
 
 The general Schur path (core/ba.py) accumulates with segment_sums, which
 lower to scatter-adds — TPU's weakest primitive — inside the PCG hot loop.
@@ -10,30 +10,45 @@ pose-pose edges):
   ``[L, K_l]`` and by-camera ``[C, K_c]`` (host-precomputed per topology),
 * every reduction — Hll blocks, b_l, Hcc diagonal blocks, b_p, the
   W^T x / W v products inside PCG, the preconditioner correction — is a
-  gather + einsum + sum over the K axis,
-* Hpp from projection edges is exactly block-diagonal (each observation
-  touches one camera), applied as a batched [C,6,6]x[C,6] product; pose-pose
-  edges (odometry/loop closures between cameras) contribute a small dense
-  extra assembled once per linearization.
+  gather + masked multiply-reduce over the K axis.
 
-This is the "speed-of-light" layout the hardware wants: HBM-bandwidth-bound
-gathers and VPU/MXU einsums, no serialized scatters.
+Layout rule (the same one that took the pose-graph matvec to its bandwidth
+bound, core/sparse.py): keep the OWNER axis (L landmarks / C cameras) on
+the TPU lane axis of every array the hot loop touches, with the tiny block
+dims (Dp=6, dl=3) leading. Concretely:
+
+* per-edge streams are ``[D, E]`` (edge on lanes),
+* the pre-gathered W coupling tables are ``[Dp*dl, K, N]`` (owner on
+  lanes, K on sublanes) — in the round-2 ``[N, K, Dp, dl]`` form the
+  6/3-sized dims sat on the (8,128) tile axes, padding 3 -> 128 lanes and
+  running the whole step at ~1% of the HBM roofline,
+* every vector in the PCG loop is a ``[D, N]`` lane-major part; gathers
+  are ``jnp.take`` along lanes with ``[K, N]`` k-major index tables,
+* block inverses/products on ``[D, D, N]`` stacks are closed-form
+  elementwise VPU arithmetic (``_inv_lane``/``_bmv_lane``).
+
+K-axis chunking: gather programs over a huge K axis are lax.scan-ned in
+``_K_CHUNK``-sized chunks to bound XLA program size and intermediate
+footprints at BAL scale (the [C, 1088, 6, 3] programs of the round-2
+layout compiled for 15+ minutes; see CLAUDE.md).
+
+Reference parity: the Schur-complement reduction and back-substitution
+follow block_solver.hpp:353-486 (schurComplement / solve's landmark
+back-substitution); LM trial semantics per
+optimization_algorithm_levenberg.cpp:95-142.
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from openslam_g2o_tpu.core import robust as robust_mod
 from openslam_g2o_tpu.core.problem import (
-    Problem, apply_update, linearize, robust_chi2, _slot_tangent_indices,
-    tangent_masks)
-from openslam_g2o_tpu.core.solvers import batched_small_inv, pcg_solve
+    Problem, linearize, robust_chi2, _slot_tangent_indices)
+from openslam_g2o_tpu.core.solvers import pcg_solve
 
 __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
            "LevenbergMarquardtSchurELL"]
@@ -126,165 +141,268 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
 
-# K-axis chunking bound: gather/einsum programs over a [N, K, ...] axis blow
-# up XLA's TPU lowering when K is large (the [C, 1088, 6, 3] programs at
-# 400k observations compile for 15+ minutes; see CLAUDE.md). Packing the K
-# axis into [nch, N, chunk, ...] and lax.scan-ning over chunks keeps the
-# compiled program one-chunk-sized at identical FLOPs. Chunk width 512
-# measured fastest on a v5e chip (69.7 ms/step vs 73.3 flat / 85.7 @256 on
-# the 80k-obs bench shape) while keeping BAL-scale compiles in seconds.
+# K-axis chunking bound: the K axis sits on SUBLANES in the lane-major
+# layout, so a large-K table is just a tall [D, K, N] array — but packing
+# the whole axis into one gather/contract program still blows up compile
+# time and intermediate footprints at BAL scale (the round-2 layout's
+# [C, 1088, 6, 3] programs compiled 15+ minutes; see CLAUDE.md). Chunks of
+# 512 keep programs one-chunk-sized at identical FLOPs.
 _K_CHUNK = 512
 
 
-def _chunk2(a, nch):
-    """[N, nch*chunk, ...] -> [nch, N, chunk, ...]."""
-    return jnp.swapaxes(
-        a.reshape(a.shape[0], nch, _K_CHUNK, *a.shape[2:]), 0, 1)
+# -- lane-major small-matrix helpers ([D, D, N] stacks, [D, N] vectors) ------
+
+def _bmv_lane(A, x):
+    """y[a, n] = sum_b A[a, b, n] x[b, n]."""
+    return (A * x[None]).sum(axis=1)
 
 
-def _pack_tables(idx, mask):
-    """Pack an ELL (index, mask) table pair for chunked K-reductions:
-    ("flat", [N, K], [N, K]) for small K, else
-    ("chunked", [nch, N, chunk], [nch, N, chunk]). Zero-padded slots gather
-    row 0 with zero mask — harmless by construction."""
+def _bmv_lane_t(A, x):
+    """y[b, n] = sum_a A[a, b, n] x[a, n]  (A^T x)."""
+    return (A * x[:, None]).sum(axis=0)
+
+
+def _diag_lane(A):
+    """[D, D, N] -> [D, N] diagonal."""
+    D = A.shape[0]
+    return jnp.stack([A[i, i] for i in range(D)])
+
+
+def _eye_lane(D, dtype):
+    return jnp.eye(D, dtype=dtype)[:, :, None]
+
+
+def _inv_lane(A):
+    """Inverse of a [D, D, N] stack of small SPD matrices, elementwise on
+    N-lane arrays (closed-form adjugate for D <= 3; transpose fallback for
+    larger D, used once per solve on the small camera-block stacks)."""
+    D = A.shape[0]
+    if D == 1:
+        return 1.0 / A
+    if D == 2:
+        a, b = A[0, 0], A[0, 1]
+        c, d = A[1, 0], A[1, 1]
+        inv_det = 1.0 / (a * d - b * c)
+        row0 = jnp.stack([d, -b])
+        row1 = jnp.stack([-c, a])
+        return jnp.stack([row0, row1]) * inv_det[None, None]
+    if D == 3:
+        a, b, c = A[0, 0], A[0, 1], A[0, 2]
+        d, e, f = A[1, 0], A[1, 1], A[1, 2]
+        g, h, i = A[2, 0], A[2, 1], A[2, 2]
+        A11 = e * i - f * h; A12 = c * h - b * i; A13 = b * f - c * e
+        A21 = f * g - d * i; A22 = a * i - c * g; A23 = c * d - a * f
+        A31 = d * h - e * g; A32 = b * g - a * h; A33 = a * e - b * d
+        inv_det = 1.0 / (a * A11 + b * A21 + c * A31)
+        adj = jnp.stack([jnp.stack([A11, A12, A13]),
+                         jnp.stack([A21, A22, A23]),
+                         jnp.stack([A31, A32, A33])])
+        return adj * inv_det[None, None]
+    return jnp.moveaxis(jnp.linalg.inv(jnp.moveaxis(A, -1, 0)), 0, -1)
+
+
+# -- packed K-major tables ---------------------------------------------------
+#
+# A packed table is ("flat", arr) with K whole, or ("chunked", arr) with a
+# leading scan axis of _K_CHUNK-sized chunks:
+#   index/mask: [K, N]            -> [nch, chunk, N]
+#   W tables:   [D, K, N]         -> [nch, D, chunk, N]
+# Chunking splits the K-major [K, N] axis contiguously (a pure reshape —
+# no transpose, unlike the round-2 owner-major packing).
+
+def _pack_tables_k(idx, mask):
+    """[N, K] row-major ELL (index, mask) -> packed k-major tables.
+    Zero-padded slots gather row 0 with zero mask — harmless by
+    construction."""
     K = idx.shape[1]
+    idxT, maskT = idx.T, mask.T                          # [K, N]
     if K <= 2 * _K_CHUNK:
-        return ("flat", idx, mask)
+        return ("flat", idxT, maskT)
     nch = -(-K // _K_CHUNK)
     pad = nch * _K_CHUNK - K
     if pad:
-        idx = jnp.pad(idx, [(0, 0), (0, pad)])
-        mask = jnp.pad(mask, [(0, 0), (0, pad)])
-    return ("chunked", _chunk2(idx, nch), _chunk2(mask, nch))
+        idxT = jnp.pad(idxT, [(0, pad), (0, 0)])
+        maskT = jnp.pad(maskT, [(0, pad), (0, 0)])
+    N = idxT.shape[1]
+    return ("chunked", idxT.reshape(nch, _K_CHUNK, N),
+            maskT.reshape(nch, _K_CHUNK, N))
 
 
-def _bcast_mask(mask, ndim_tail):
-    return mask.reshape(mask.shape + (1,) * ndim_tail)
-
-
-def _reduce_k(per_edge, packed):
-    """sum over each owner's edge slots: [E, ...] -> [N, ...] through the
-    packed table — one gather+sum when flat, a scan of chunk-sized
-    gather+sums when chunked."""
-    kind, idx, mask = packed
-    tail = per_edge.ndim - 1
+def _pack_gidx_k(gidx, packed_tables):
+    """Pack a [N, K] neighbor-gather table (lm_cam / cam_lm) into the same
+    k-major chunk layout as its W operand."""
+    kind = packed_tables[0]
+    gidxT = gidx.T                                       # [K, N]
     if kind == "flat":
-        return (per_edge[idx] * _bcast_mask(mask, tail)).sum(axis=1)
+        return ("flat", gidxT)
+    nch = packed_tables[1].shape[0]
+    pad = nch * _K_CHUNK - gidxT.shape[0]
+    if pad:
+        gidxT = jnp.pad(gidxT, [(0, pad), (0, 0)])
+    return ("chunked", gidxT.reshape(nch, _K_CHUNK, gidxT.shape[1]))
+
+
+def _reduce_k_lane(streamT, packed):
+    """Owner-sum of a per-edge lane-major stream: [D, E] -> [D, N] through
+    the packed table — one lane gather + masked K-reduce when flat, a scan
+    of chunk-sized ones when chunked."""
+    kind, idx, mask = packed
+    D = streamT.shape[0]
+
+    def one(ic, mc):
+        N = ic.shape[-1]
+        g = jnp.take(streamT, ic.reshape(-1), axis=1).reshape(D, -1, N)
+        return (g * mc[None]).sum(axis=1)
+
+    if kind == "flat":
+        return one(idx, mask)
 
     def body(acc, inp):
-        i, m = inp
-        return acc + (per_edge[i] * _bcast_mask(m, tail)).sum(axis=1), None
+        ic, mc = inp
+        return acc + one(ic, mc), None
 
-    init = jnp.zeros((idx.shape[1],) + per_edge.shape[1:],
-                     dtype=per_edge.dtype)
+    init = jnp.zeros((D, idx.shape[-1]), dtype=streamT.dtype)
     out, _ = jax.lax.scan(body, init, (idx, mask))
     return out
 
 
-def _gather_w(per_edge, packed):
-    """Pre-gather the per-edge W blocks into the packed owner layout:
-    ("flat", [N, K, s, t]) or ("chunked", [nch, N, chunk, s, t]). Chunked
-    uses lax.map so the program holds one chunk-sized gather."""
+def _gather_w_lane(streamT, packed):
+    """Pre-gather the per-edge W stream [D, E] into the packed owner
+    layout: ("flat", [D, K, N]) or ("chunked", [nch, D, chunk, N]), with
+    padding slots zeroed by the mask."""
     kind, idx, mask = packed
-    tail = per_edge.ndim - 1
+    D = streamT.shape[0]
     if kind == "flat":
-        return ("flat", per_edge[idx] * _bcast_mask(mask, tail))
+        K, N = idx.shape
+        g = jnp.take(streamT, idx.reshape(-1), axis=1).reshape(D, K, N)
+        return ("flat", g * mask[None])
     W_ch = jax.lax.map(
-        lambda im: per_edge[im[0]] * _bcast_mask(im[1], tail), (idx, mask))
+        lambda im: jnp.take(streamT, im[0].reshape(-1), axis=1)
+        .reshape(D, *im[0].shape) * im[1][None], (idx, mask))
     return ("chunked", W_ch)
 
 
-def _pack_gidx(gidx, packed_tables):
-    """Pack a [N, K] neighbor-gather table (lm_cam / cam_lm) into the same
-    chunk layout as its W operand."""
-    kind, idx, _ = packed_tables
-    if kind == "flat":
-        return ("flat", gidx)
-    nch = idx.shape[0]
-    pad = nch * _K_CHUNK - gidx.shape[1]
-    if pad:
-        gidx = jnp.pad(gidx, [(0, 0), (0, pad)])
-    return ("chunked", _chunk2(gidx, nch))
+def _apply_w_lane(W_packed, gidx_packed, xT, Dp, dl, to_lm: bool):
+    """The Schur coupling products, owner on lanes.
 
-
-def _apply_k(W_packed, gidx_packed, x, spec, out_shape, dtype):
-    """sum_k einsum(spec, W[:, k], x[gidx[:, k]]): a single fused
-    gather+einsum when flat, a lax.scan over chunks when chunked (identical
-    arithmetic, bounded program size)."""
+    to_lm:  u[t, L] = sum_{k, s} W[s, t, k, L] * x[s, lm_cam[k, L]]
+            (W^T x: camera vector -> landmark space)
+    else:   y[s, C] = sum_{k, t} W[s, t, k, C] * v[t, cam_lm[k, C]]
+            (W v: landmark vector -> camera space)
+    """
+    kind = W_packed[0]
     W = W_packed[1]
     gidx = gidx_packed[1]
-    if W_packed[0] == "flat":
-        return jnp.einsum(spec, W, x[gidx])
+    Dx = Dp if to_lm else dl
+
+    def one(Wc, ic):
+        N = ic.shape[-1]
+        W4 = Wc.reshape(Dp, dl, -1, N)
+        xg = jnp.take(xT, ic.reshape(-1), axis=1).reshape(Dx, -1, N)
+        if to_lm:
+            return (W4 * xg[:, None]).sum(axis=(0, 2))
+        return (W4 * xg[None]).sum(axis=(1, 2))
+
+    if kind == "flat":
+        return one(W, gidx)
 
     def body(acc, inp):
         Wc, ic = inp
-        return acc + jnp.einsum(spec, Wc, x[ic]), None
+        return acc + one(Wc, ic), None
 
-    init = jnp.zeros(out_shape, dtype=dtype)
+    D_out = dl if to_lm else Dp
+    init = jnp.zeros((D_out, W.shape[-1]), dtype=W.dtype)
     out, _ = jax.lax.scan(body, init, (W, gidx))
     return out
 
 
-def _apply_k_sandwich(W_packed, gidx_packed, M):
-    """corr[c] = sum_k W[c, k] @ M[gidx[c, k]] @ W[c, k]^T (the block-Jacobi
-    preconditioner correction), chunk-scanned like _apply_k."""
-    spec = "ckst,cktu,ckvu->csv"
+def _sandwich_lane(W_packed, gidx_packed, M_lane, Dp, dl):
+    """corr[s, v, C] = sum_k (W_k M_{lm(k)} W_k^T)[s, v] — the block-Jacobi
+    preconditioner correction on the reduced camera system, chunk-scanned
+    like _apply_w_lane. M_lane: [dl, dl, L]."""
+    kind = W_packed[0]
     W = W_packed[1]
     gidx = gidx_packed[1]
-    if W_packed[0] == "flat":
-        return jnp.einsum(spec, W, M[gidx], W)
+    Mflat = M_lane.reshape(dl * dl, -1)
+
+    def one(Wc, ic):
+        N = ic.shape[-1]
+        W4 = Wc.reshape(Dp, dl, -1, N)
+        Mg = jnp.take(Mflat, ic.reshape(-1), axis=1).reshape(dl, dl, -1, N)
+        tmp = (W4[:, :, None] * Mg[None]).sum(axis=1)    # [Dp, dl, k, N]
+        return (tmp[:, None] * W4[None]).sum(axis=(2, 3))
+
+    if kind == "flat":
+        return one(W, gidx)
 
     def body(acc, inp):
         Wc, ic = inp
-        return acc + jnp.einsum(spec, Wc, M[ic], Wc), None
+        return acc + one(Wc, ic), None
 
-    C, s = W.shape[1], W.shape[3]
-    init = jnp.zeros((C, s, s), dtype=W.dtype)
+    init = jnp.zeros((Dp, Dp, W.shape[-1]), dtype=W.dtype)
     out, _ = jax.lax.scan(body, init, (W, gidx))
     return out
 
 
 def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
-    """Per-linearization quantities, all scatter-free except the (small)
-    pose-pose extra."""
+    """Per-linearization quantities, all lane-major and scatter-free except
+    the (small) pose-pose extra.
+
+    Per-edge products run edge-on-lanes: each J^T W J / W-coupling block is
+    an elementwise multiply + tiny-axis reduce over [*, *, E] streams (one
+    moveaxis per jacobian at entry; everything downstream stays dense on
+    the (8, 128) tiles)."""
     dt = problem.dtype
     lg = problem.static.vgroup(pattern.lm_name)
     L, dl = lg.count, lg.tangent_dim
     Tp = problem.static.pose_dim
 
-    Hll = jnp.zeros((L, dl, dl), dtype=dt)
-    b_l = jnp.zeros((L, dl), dtype=dt)
-    groups = {}   # cam group name -> dict with Hcc_diag, b_p parts
+    Hll = jnp.zeros((dl, dl, L), dtype=dt)               # lane-major
+    b_l = jnp.zeros((dl, L), dtype=dt)
+    groups = {}   # cam group name -> dict with Hcc (lane), bT parts
 
     proj_data = []
     for pg in pattern.proj:
         ea = problem.edges[pg.egkey]
         resid, jacs, w = lin[pg.egkey]
-        w_omega = w[:, None, None] * ea.information
-        Jl, Jc = jacs[pg.lm_slot], jacs[pg.cam_slot]
-        Jl_w = jnp.einsum("eas,eab->esb", Jl, w_omega)
-        Jc_w = jnp.einsum("eas,eab->esb", Jc, w_omega)
-        lm_tbl = _pack_tables(pg.lm_edge_idx, pg.lm_mask)
-        cam_tbl = _pack_tables(pg.cam_edge_idx, pg.cam_mask)
-        Hll = Hll + _reduce_k(jnp.einsum("esb,ebt->est", Jl_w, Jl), lm_tbl)
-        b_l = b_l + _reduce_k(-jnp.einsum("esb,eb->es", Jl_w, resid), lm_tbl)
-        W = jnp.einsum("esb,ebt->est", Jc_w, Jl)     # [E, Dp, dl]
-        Hcc_e = jnp.einsum("esb,ebt->est", Jc_w, Jc)
-        bp_e = -jnp.einsum("esb,eb->es", Jc_w, resid)
+        # edge-on-lanes streams
+        residT = resid.T                                  # [r, E]
+        JlT = jnp.moveaxis(jacs[pg.lm_slot], 0, -1)       # [r, dl, E]
+        JcT = jnp.moveaxis(jacs[pg.cam_slot], 0, -1)      # [r, Dp, E]
+        w_omegaT = w[None, None, :] * jnp.moveaxis(ea.information, 0, -1)
+        Dp = JcT.shape[1]
+        # Jl_w[s, b, E] = sum_a Jl[a, s, E] w_omega[a, b, E]
+        Jl_wT = (JlT[:, :, None] * w_omegaT[:, None]).sum(axis=0)
+        Jc_wT = (JcT[:, :, None] * w_omegaT[:, None]).sum(axis=0)
+        lm_tbl = _pack_tables_k(pg.lm_edge_idx, pg.lm_mask)
+        cam_tbl = _pack_tables_k(pg.cam_edge_idx, pg.cam_mask)
+        # Hll_e[s, t, E] = sum_b Jl_w[s, b, E] Jl[b, t, E]
+        Hll_e = (Jl_wT[:, :, None] * JlT[None]).sum(axis=1)
+        bl_e = -(Jl_wT * residT[None]).sum(axis=1)        # [dl, E]
+        Hll = Hll + _reduce_k_lane(Hll_e.reshape(dl * dl, -1),
+                                   lm_tbl).reshape(dl, dl, L)
+        b_l = b_l + _reduce_k_lane(bl_e, lm_tbl)
+        W_T = (Jc_wT[:, :, None] * JlT[None]).sum(axis=1)  # [Dp, dl, E]
+        Hcc_e = (Jc_wT[:, :, None] * JcT[None]).sum(axis=1)
+        bp_e = -(Jc_wT * residT[None]).sum(axis=1)        # [Dp, E]
         cg = problem.static.vgroup(pg.cam_group)
         slot = groups.setdefault(pg.cam_group, {
-            "Hcc": jnp.zeros((cg.count, cg.tangent_dim, cg.tangent_dim), dt),
-            "b": jnp.zeros((cg.count, cg.tangent_dim), dt)})
-        slot["Hcc"] = slot["Hcc"] + _reduce_k(Hcc_e, cam_tbl)
-        slot["b"] = slot["b"] + _reduce_k(bp_e, cam_tbl)
-        # pre-gather W into BOTH ELL layouts (one-time per linearization)
-        # so PCG matvecs gather only from the small x_c / v tables
+            "Hcc": jnp.zeros((cg.tangent_dim, cg.tangent_dim, cg.count), dt),
+            "bT": jnp.zeros((cg.tangent_dim, cg.count), dt)})
+        slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
+            Hcc_e.reshape(Dp * Dp, -1), cam_tbl).reshape(Dp, Dp, cg.count)
+        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, cam_tbl)
+        # pre-gather W into BOTH k-major ELL layouts (one-time per
+        # linearization) so PCG matvecs gather only from the small [D, N]
+        # vector tables
+        W_stream = W_T.reshape(Dp * dl, -1)
         proj_data.append({
             "pg": pg,
-            "W_lm": _gather_w(W, lm_tbl),
-            "W_cam": _gather_w(W, cam_tbl),
-            "lm_cam": _pack_gidx(pg.lm_cam, lm_tbl),
-            "cam_lm": _pack_gidx(pg.cam_lm, cam_tbl)})
+            "W_lm": _gather_w_lane(W_stream, lm_tbl),
+            "W_cam": _gather_w_lane(W_stream, cam_tbl),
+            "lm_cam": _pack_gidx_k(pg.lm_cam, lm_tbl),
+            "cam_lm": _pack_gidx_k(pg.cam_lm, cam_tbl),
+            "Dp": Dp})
 
     # pose-only edges -> small dense extra over the pose tangent block
     Hpp_extra = jnp.zeros((Tp, Tp), dtype=dt)
@@ -319,36 +437,39 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
 
 def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
            pcg_iters: int, pcg_tol: float = 1e-10):
-    """Damped Schur solve on the dual-ELL structures. dx over part-dicts."""
+    """Damped Schur solve on the lane-major dual-ELL structures.
+
+    Returns (dxT: lane-major part dict incl. landmarks, ok, bT: lane-major
+    right-hand side parts for the gain-ratio denominator)."""
     dt = problem.dtype
     lg = problem.static.vgroup(pattern.lm_name)
     L, dl = sys["L"], sys["dl"]
-    Hll, b_l = sys["Hll"], sys["b_l"]
-    free_l = problem.free[lg.name]
-    eye_l = jnp.eye(dl, dtype=dt)
-    Hll_d = Hll + (lam * free_l + (1.0 - free_l))[:, None, None] * eye_l
-    Hinv = batched_small_inv(Hll_d)
+    Hll, b_l = sys["Hll"], sys["b_l"]                    # [dl, dl, L], [dl, L]
+    free_l = problem.free[lg.name]                       # [L]
+    Hll_d = Hll + _eye_lane(dl, dt) * (lam * free_l + (1.0 - free_l))[None,
+                                                                      None]
+    Hinv = _inv_lane(Hll_d)                              # [dl, dl, L]
 
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
     free_p = {g.name: problem.free[g.name] for g in pose_groups}
 
-    # damped block-diagonal Hcc per group (+ fixed identity)
+    # damped block-diagonal Hcc per group (+ unit diagonal on fixed slots)
     Hcc_d = {}
     for g in pose_groups:
         D = g.tangent_dim
-        eye = jnp.eye(D, dtype=dt)
+        eye = _eye_lane(D, dt)
         base = sys["groups"].get(g.name, {"Hcc": jnp.zeros(
-            (g.count, D, D), dt)})["Hcc"]
-        f = free_p[g.name]
-        Hcc_d[g.name] = (base + lam * eye[None]) * f[:, None, None] \
-            + (1.0 - f)[:, None, None] * eye[None]
+            (D, D, g.count), dt)})["Hcc"]
+        f = free_p[g.name][None, None]
+        Hcc_d[g.name] = (base + lam * eye) * f + (1.0 - f) * eye
 
-    # hoist the dense extra into per-part closures
     has_extra = sys["has_extra"]
 
-    def parts_to_flat(parts):
-        return jnp.concatenate([parts[g.name].reshape(-1)
+    # the dense pose-pose extra works on the flat [Tp] tangent ordering
+    # ([C, Dp] row-major); transposes only run when such edges exist
+    def parts_to_flat(partsT):
+        return jnp.concatenate([partsT[g.name].T.reshape(-1)
                                 for g in pose_groups])
 
     def flat_to_parts(x):
@@ -356,80 +477,76 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         for g in pose_groups:
             seg = jax.lax.dynamic_slice(x, (g.offset,),
                                         (g.count * g.tangent_dim,))
-            out[g.name] = seg.reshape(g.count, g.tangent_dim)
+            out[g.name] = seg.reshape(g.count, g.tangent_dim).T
         return out
 
-    def cam_shape(pg):
-        g = problem.static.vgroup(pg.cam_group)
-        return (g.count, g.tangent_dim)
-
-    # reduced rhs
-    hib = jnp.einsum("lst,lt->ls", Hinv, b_l)
-    b_red = {g.name: sys["groups"].get(g.name, {"b": jnp.zeros(
-        (g.count, g.tangent_dim), dt)})["b"] for g in pose_groups}
+    # reduced rhs: b_red = b_p - W Hll^-1 b_l
+    hib = _bmv_lane(Hinv, b_l)                           # [dl, L]
+    b_red = {g.name: sys["groups"].get(g.name, {"bT": jnp.zeros(
+        (g.tangent_dim, g.count), dt)})["bT"] for g in pose_groups}
     for pd in sys["proj"]:
         pg = pd["pg"]
-        b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_k(
-            pd["W_cam"], pd["cam_lm"], hib, "ckst,ckt->cs", cam_shape(pg), dt)
+        b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_w_lane(
+            pd["W_cam"], pd["cam_lm"], hib, pd["Dp"], dl, to_lm=False)
     if has_extra:
         extra = flat_to_parts(sys["b_extra"])
         b_red = {k: b_red[k] + extra[k] for k in b_red}
 
-    def s_matvec(x_parts):
-        """Gathers only from the small x_c [C, Dp] / v [L, dl] tables; the
-        heavy W tensors are read sequentially by the einsums."""
-        y = {g.name: jnp.einsum("nst,nt->ns", Hcc_d[g.name], x_parts[g.name])
+    def s_matvec(xT):
+        """Implicit S x = (Hcc - W Hll^-1 W^T) x, owner-on-lanes: gathers
+        touch only the small [D, N] vector tables; the heavy W tables are
+        read sequentially by the multiply-reduces."""
+        y = {g.name: _bmv_lane(Hcc_d[g.name], xT[g.name])
              for g in pose_groups}
         if has_extra:
-            flat = sys["Hpp_extra"] @ parts_to_flat(x_parts)
+            flat = sys["Hpp_extra"] @ parts_to_flat(xT)
             extra = flat_to_parts(flat)
             y = {k: y[k] + extra[k] for k in y}
-        u = jnp.zeros((L, dl), dtype=dt)
+        u = jnp.zeros((dl, L), dtype=dt)
         for pd in sys["proj"]:
             pg = pd["pg"]
-            u = u + _apply_k(pd["W_lm"], pd["lm_cam"], x_parts[pg.cam_group],
-                             "lkst,lks->lt", (L, dl), dt)
-        v = jnp.einsum("lst,lt->ls", Hinv, u)
+            u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"],
+                                  xT[pg.cam_group], pd["Dp"], dl, to_lm=True)
+        v = _bmv_lane(Hinv, u)
         for pd in sys["proj"]:
             pg = pd["pg"]
-            y[pg.cam_group] = y[pg.cam_group] - _apply_k(
-                pd["W_cam"], pd["cam_lm"], v, "ckst,ckt->cs", cam_shape(pg),
-                dt)
+            y[pg.cam_group] = y[pg.cam_group] - _apply_w_lane(
+                pd["W_cam"], pd["cam_lm"], v, pd["Dp"], dl, to_lm=False)
         return y
 
     # block-Jacobi preconditioner on diag(S)
     s_blocks = dict(Hcc_d)
     for pd in sys["proj"]:
         pg = pd["pg"]
-        corr = -_apply_k_sandwich(pd["W_cam"], pd["cam_lm"], Hinv)
-        s_blocks[pg.cam_group] = s_blocks[pg.cam_group] + corr
-    s_binv = {k: batched_small_inv(v) for k, v in s_blocks.items()}
+        corr = _sandwich_lane(pd["W_cam"], pd["cam_lm"], Hinv, pd["Dp"], dl)
+        s_blocks[pg.cam_group] = s_blocks[pg.cam_group] - corr
+    s_binv = {k: _inv_lane(v) for k, v in s_blocks.items()}
 
-    def precond(r_parts):
-        return {k: jnp.einsum("nst,nt->ns", s_binv[k], r_parts[k])
-                for k in r_parts}
+    def precond(rT):
+        return {k: _bmv_lane(s_binv[k], rT[k]) for k in rT}
 
+    b_red = {k: b_red[k] * free_p[k][None] for k in b_red}
     dx_p, ok = pcg_solve(s_matvec, b_red, precond=precond,
-                         max_iter=pcg_iters, tol=pcg_tol)
-    dx_p = {k: dx_p[k] * free_p[k][:, None] for k in dx_p}
+                         max_iter=pcg_iters, tol=pcg_tol, norm="precond")
+    dx_p = {k: dx_p[k] * free_p[k][None] for k in dx_p}
 
-    # back-substitution
-    u = jnp.zeros((L, dl), dtype=dt)
+    # back-substitution: dx_l = Hll^-1 (b_l - W^T dx_p)
+    u = jnp.zeros((dl, L), dtype=dt)
     for pd in sys["proj"]:
         pg = pd["pg"]
-        u = u + _apply_k(pd["W_lm"], pd["lm_cam"], dx_p[pg.cam_group],
-                         "lkst,lks->lt", (L, dl), dt)
-    dx_l = jnp.einsum("lst,lt->ls", Hinv, b_l - u) * free_l[:, None]
+        u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"], dx_p[pg.cam_group],
+                              pd["Dp"], dl, to_lm=True)
+    dx_l = _bmv_lane(Hinv, b_l - u) * free_l[None]
 
-    dx_parts = dict(dx_p)
-    dx_parts[pattern.lm_name] = dx_l
-    b_parts = {g.name: sys["groups"].get(g.name, {"b": jnp.zeros(
-        (g.count, g.tangent_dim), dt)})["b"] for g in pose_groups}
+    dxT = dict(dx_p)
+    dxT[pattern.lm_name] = dx_l
+    bT = {g.name: sys["groups"].get(g.name, {"bT": jnp.zeros(
+        (g.tangent_dim, g.count), dt)})["bT"] for g in pose_groups}
     if has_extra:
         extra = flat_to_parts(sys["b_extra"])
-        b_parts = {k: b_parts[k] + extra[k] for k in b_parts}
-    b_parts[pattern.lm_name] = b_l
-    return dx_parts, ok, b_parts
+        bT = {k: bT[k] + extra[k] for k in bT}
+    bT[pattern.lm_name] = b_l
+    return dxT, ok, bT
 
 
 @partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
@@ -452,13 +569,14 @@ def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
 
     def trial_body(st):
         trials, done, rho, lam, ni, best_params, best_chi = st
-        dx, ok, b_parts = _solve(work, pattern, sys, lam, pcg_iters,
-                                 pcg_tol=pcg_tol)
+        dxT, ok, bT = _solve(work, pattern, sys, lam, pcg_iters,
+                             pcg_tol=pcg_tol)
+        dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
         chi_new = jnp.where(ok, chi_new, jnp.inf)
-        scale = _tree_dot(dx, jax.tree_util.tree_map(
-            lambda d, bi: lam * d + bi, dx, b_parts)) + 1e-3
+        scale = _tree_dot(dxT, jax.tree_util.tree_map(
+            lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
         rho = (chi_cur - chi_new) / scale
         accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
         alpha = 1.0 - (2.0 * rho - 1.0) ** 3
@@ -508,10 +626,9 @@ class LevenbergMarquardtSchurELL:
             # (computeLambdaInit, optimization_algorithm_levenberg.cpp:149-163)
             def max_diag(l):
                 sys = _build(prob, pattern, l)
-                m = jnp.max(jnp.abs(jnp.diagonal(sys["Hll"], axis1=1, axis2=2)))
+                m = jnp.max(jnp.abs(_diag_lane(sys["Hll"])))
                 for g in sys["groups"].values():
-                    m = jnp.maximum(m, jnp.max(jnp.abs(
-                        jnp.diagonal(g["Hcc"], axis1=1, axis2=2))))
+                    m = jnp.maximum(m, jnp.max(jnp.abs(_diag_lane(g["Hcc"]))))
                 if sys["has_extra"]:
                     m = jnp.maximum(m, jnp.max(jnp.abs(
                         jnp.diagonal(sys["Hpp_extra"]))))

@@ -136,8 +136,11 @@ def compute_marginals_schur(problem: Problem, pattern=None):
     free_l = problem.free[lg.name]
     eye_l = jnp.eye(dl, dtype=dt)
     # undamped; fixed landmarks carry identity blocks (their W rows are
-    # already masked to zero by linearize)
-    Hll_d = sys["Hll"] + (1.0 - free_l)[:, None, None] * eye_l
+    # already masked to zero by linearize). _build returns lane-major
+    # [dl, dl, L] stacks (the ba_ell hot-loop layout); this once-per-call
+    # path works row-major.
+    Hll_row = jnp.moveaxis(sys["Hll"], -1, 0)            # [L, dl, dl]
+    Hll_d = Hll_row + (1.0 - free_l)[:, None, None] * eye_l
     Hinv = batched_small_inv(Hll_d)
 
     pose_groups = [g for g in problem.static.vgroups
@@ -147,8 +150,8 @@ def compute_marginals_schur(problem: Problem, pattern=None):
     S = jnp.zeros((Tp, Tp), dtype=dt)
     for g in pose_groups:
         D = g.tangent_dim
-        base = sys["groups"].get(g.name, {"Hcc": jnp.zeros(
-            (g.count, D, D), dt)})["Hcc"]
+        base = jnp.moveaxis(sys["groups"].get(g.name, {"Hcc": jnp.zeros(
+            (D, D, g.count), dt)})["Hcc"], -1, 0)        # [C, D, D]
         f = problem.free[g.name]
         blocks = base * f[:, None, None] \
             + (1.0 - f)[:, None, None] * jnp.eye(D, dtype=dt)[None]
