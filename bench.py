@@ -275,6 +275,199 @@ def run_tpu_ba(n_cams, n_points, obs_per_point, pcg_iters, pcg_tol,
             None if ate is None else float(ate))
 
 
+def expected_ba_chi2(n_obs, n_cams, n_points, pixel_noise=1.0):
+    """Noise-floor chi2 for the synthetic BAL scenes: residual dof times the
+    injected pixel variance, E[chi2_min] ~ (2*E - dof) * sigma^2 with
+    dof = 6*(C-1) + 3*P free parameters (identity information, cam 0 fixed).
+    The converged solver must land within a few percent of this — the
+    convergence gate the reference's known-minimum datasets provide for the
+    pose graphs (BASELINE.md protocol)."""
+    dof = 6 * (n_cams - 1) + 3 * n_points
+    return (2.0 * n_obs - dof) * pixel_noise ** 2
+
+
+def run_cpu_ba_baseline(n_cams, n_points, obs_per_point, n_iters=3,
+                        converge_iters=15):
+    """Reference-equivalent Schur BA iteration on CPU: analytic projection
+    Jacobians, block Schur complement over the landmark blocks, scipy
+    sparse LU on the reduced camera system (the CSparse-equivalent exact
+    factorization, block_solver.hpp:353-486 pipeline), same LM damping
+    semantics. Measured in-process on the SAME synthetic scene as the TPU
+    run (the reference C++ cannot be built in this image: no Eigen, zero
+    egress). The symbolic phase (pair sort) runs once outside the timed
+    loop, like the reference's buildStructure."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.apps.simulator import synthetic_bal_problem
+
+    prob, gt = synthetic_bal_problem(n_cams=n_cams, n_points=n_points,
+                                     obs_per_point=obs_per_point,
+                                     dtype=jnp.float32)
+    et_name = next(iter(prob.edges))
+    ea = prob.edges[et_name]
+    pt_idx = np.asarray(ea.indices[0]).astype(np.int64)
+    cam_idx = np.asarray(ea.indices[1]).astype(np.int64)
+    obs = np.asarray(ea.measurement, dtype=np.float64)
+    focal = float(np.asarray(ea.pdata[0])[0, 0])
+    cams = np.asarray(prob.params["se3_expmap"], dtype=np.float64)  # [C,7] t,q
+    pts = np.asarray(prob.params["sba_point_xyz"], dtype=np.float64)
+    C, P, E = n_cams, n_points, len(obs)
+    free_cam = np.ones(C)
+    free_cam[0] = 0.0
+
+    def quat_to_R(q):
+        x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        return np.stack([
+            np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                      2 * (x * z + y * w)], -1),
+            np.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                      2 * (y * z - x * w)], -1),
+            np.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                      1 - 2 * (x * x + y * y)], -1)], -2)
+
+    def residuals(cams, pts):
+        R = quat_to_R(cams[:, 3:7])
+        pc = np.einsum("eab,eb->ea", R[cam_idx], pts[pt_idx]) \
+            + cams[cam_idx, :3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        proj = pc[:, :2] / z[:, None] * focal
+        return proj - obs, pc, R
+
+    def chi2_of(cams, pts):
+        r, _, _ = residuals(cams, pts)
+        return float((r * r).sum())
+
+    def linearize_np(cams, pts):
+        r, pc, R = residuals(cams, pts)
+        x, y, z = pc[:, 0], pc[:, 1], np.maximum(pc[:, 2], 1e-6)
+        iz = 1.0 / z
+        dproj = np.zeros((E, 2, 3))
+        dproj[:, 0, 0] = focal * iz
+        dproj[:, 0, 2] = -focal * x * iz * iz
+        dproj[:, 1, 1] = focal * iz
+        dproj[:, 1, 2] = -focal * y * iz * iz
+        # cam tangent: left-multiplicative (upsilon, omega) on w2c
+        dpc_dcam = np.zeros((E, 3, 6))
+        dpc_dcam[:, :, :3] = np.eye(3)
+        dpc_dcam[:, 0, 4] = pc[:, 2];  dpc_dcam[:, 0, 5] = -pc[:, 1]
+        dpc_dcam[:, 1, 3] = -pc[:, 2]; dpc_dcam[:, 1, 5] = pc[:, 0]
+        dpc_dcam[:, 2, 3] = pc[:, 1];  dpc_dcam[:, 2, 4] = -pc[:, 0]
+        Jc = np.einsum("eab,ebc->eac", dproj, dpc_dcam) \
+            * free_cam[cam_idx][:, None, None]
+        Jp = np.einsum("eab,ebc->eac", dproj, R[cam_idx])
+        return r, Jc, Jp
+
+    def retract(cams, dxc):
+        ups, om = dxc[:, :3], dxc[:, 3:]
+        th = np.linalg.norm(om, axis=1, keepdims=True)
+        small = th[:, 0] < 1e-12
+        ax = om / np.where(th > 1e-12, th, 1.0)
+        q = np.concatenate([np.sin(th / 2) * ax, np.cos(th / 2)], axis=1)
+        q[small] = [0, 0, 0, 1]
+        Rd = quat_to_R(q)
+        out = cams.copy()
+        out[:, :3] = np.einsum("cab,cb->ca", Rd, cams[:, :3]) + ups
+        qc = cams[:, 3:7]
+        x1, y1, z1, w1 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        x2, y2, z2, w2 = qc[:, 0], qc[:, 1], qc[:, 2], qc[:, 3]
+        out[:, 3] = w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2
+        out[:, 4] = w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2
+        out[:, 5] = w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2
+        out[:, 6] = w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2
+        out[:, 3:7] /= np.linalg.norm(out[:, 3:7], axis=1, keepdims=True)
+        return out
+
+    # symbolic phase: landmark-major observation grouping + camera-pair
+    # ordering for the Schur fill (runs once — buildStructure analogue)
+    order = np.argsort(pt_idx, kind="stable")
+    counts = np.bincount(pt_idx, minlength=P)
+    assert counts.min() == counts.max(), "uniform obs/point expected"
+    m = int(counts[0])
+    e_of = order.reshape(P, m)            # [P, m] edge ids per landmark
+    cam_of = cam_idx[e_of]                # [P, m]
+    pair_ca = np.repeat(cam_of, m, axis=1).reshape(P, m, m)
+    pair_cb = np.tile(cam_of, (1, m)).reshape(P, m, m)
+    pair_flat = (pair_ca * C + pair_cb).reshape(-1)
+    pair_order = np.argsort(pair_flat, kind="stable")
+    pair_sorted = pair_flat[pair_order]
+    uniq_pairs, pair_starts = np.unique(pair_sorted, return_index=True)
+    Srows = np.broadcast_to((uniq_pairs // C)[:, None, None] * 6
+                            + np.arange(6)[None, :, None],
+                            (len(uniq_pairs), 6, 6))
+    Scols = np.broadcast_to((uniq_pairs % C)[:, None, None] * 6
+                            + np.arange(6)[None, None, :],
+                            (len(uniq_pairs), 6, 6))
+    cam_flat = cam_of.reshape(-1)
+    cam_order = np.argsort(cam_flat, kind="stable")
+    cam_starts = np.searchsorted(cam_flat[cam_order], np.arange(C))
+
+    lam = None
+    t0 = time.monotonic()
+    elapsed = None
+    chi = chi2_of(cams, pts)
+    ni = 2.0
+    for it in range(converge_iters):
+        r, Jc, Jp = linearize_np(cams, pts)
+        # block quantities
+        Hcc = np.zeros((C, 6, 6))
+        np.add.at(Hcc, cam_idx, np.einsum("eab,eac->ebc", Jc, Jc))
+        bc = np.zeros((C, 6))
+        np.add.at(bc, cam_idx, -np.einsum("eab,ea->eb", Jc, r))
+        Hll = np.einsum("eab,eac->ebc", Jp[e_of].reshape(-1, 2, 3),
+                        Jp[e_of].reshape(-1, 2, 3)).reshape(P, m, 3, 3).sum(1)
+        bl = -np.einsum("eab,ea->eb", Jp[e_of].reshape(-1, 2, 3),
+                        r[e_of].reshape(-1, 2)).reshape(P, m, 3).sum(1)
+        W = np.einsum("eab,eac->ebc", Jc, Jp)          # [E, 6, 3]
+        W_lm = W[e_of]                                  # [P, m, 6, 3]
+        if lam is None:
+            dmax = max(np.abs(np.einsum("caa->ca", Hcc)).max(),
+                       np.abs(np.einsum("paa->pa", Hll)).max())
+            lam = 1e-5 * dmax
+        for _trial in range(10):
+            Hll_d = Hll + lam * np.eye(3)
+            Hinv = np.linalg.inv(Hll_d)
+            # reduced system blocks: W Hll^-1 W^T per camera pair
+            WH = np.einsum("pmst,ptu->pmsu", W_lm, Hinv)
+            pairs = np.einsum("pmsu,pnvu->pmnsv", WH, W_lm)
+            pair_blocks = pairs.reshape(-1, 6, 6)[pair_order]
+            S_blocks = np.add.reduceat(pair_blocks, pair_starts, axis=0)
+            diag_pairs = uniq_pairs // C == uniq_pairs % C
+            S_blocks = -S_blocks
+            S_blocks[diag_pairs] += Hcc[uniq_pairs[diag_pairs] // C] \
+                + lam * np.eye(6)
+            # fixed cam: unit diagonal (J columns already masked)
+            fixed_diag = diag_pairs & (free_cam[uniq_pairs // C] == 0.0)
+            S_blocks[fixed_diag] = np.eye(6)
+            S = sp.coo_matrix(
+                (S_blocks.ravel(), (Srows.ravel(), Scols.ravel())),
+                shape=(6 * C, 6 * C)).tocsc()
+            hib = np.einsum("pst,pt->ps", Hinv, bl)
+            b_red = bc - np.add.reduceat(
+                np.einsum("pmst,pt->pms", W_lm, hib).reshape(-1, 6)
+                [cam_order], cam_starts, axis=0)
+            dxc = spla.splu(S).solve(b_red.reshape(-1)).reshape(C, 6) \
+                * free_cam[:, None]
+            u = np.einsum("pmst,pms->pt", W_lm, dxc[cam_of])
+            dxl = np.einsum("pst,pt->ps", Hinv, bl - u)
+            cams_new = retract(cams, dxc)
+            pts_new = pts + dxl
+            chi_new = chi2_of(cams_new, pts_new)
+            denom = (dxc * (lam * dxc + bc)).sum() \
+                + (dxl * (lam * dxl + bl)).sum() + 1e-3
+            rho = (chi - chi_new) / denom
+            if rho > 0 and np.isfinite(chi_new):
+                cams, pts, chi = cams_new, pts_new, chi_new
+                lam *= max(1 / 3, min(1 - (2 * rho - 1) ** 3, 2 / 3))
+                ni = 2.0
+                break
+            lam *= ni
+            ni *= 2.0
+        if it + 1 == n_iters:
+            elapsed = time.monotonic() - t0
+    return n_iters / elapsed, chi
+
+
 def run_pcg_roofline():
     """Measured per-iteration time of the Manhattan ELL-PCG hot loop tied to
     its analytic FLOP/byte cost (two fixed-budget solves, differenced —

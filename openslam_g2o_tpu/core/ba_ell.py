@@ -56,7 +56,7 @@ __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lm_edge_idx", "lm_mask", "cam_edge_idx", "cam_mask",
-                      "li", "ci", "lm_cam", "cam_lm"],
+                      "li", "ci", "lm_cam", "cam_lm", "lm_cam_onehot"],
          meta_fields=["egkey", "lm_slot", "cam_slot", "cam_group", "lm_group"])
 @dataclasses.dataclass
 class ProjGroupPattern:
@@ -69,7 +69,8 @@ class ProjGroupPattern:
     ci: jnp.ndarray             # [E] camera index per edge
     lm_cam: jnp.ndarray         # [L, K_l] camera of each landmark slot
     cam_lm: jnp.ndarray         # [C, K_c] landmark of each camera slot
-    egkey: str
+    lm_cam_onehot: jnp.ndarray  # [C, K_l, L] {0,1} or None — dense-Schur
+    egkey: str                  # densify operand (see _DENSE_SCHUR gates)
     lm_slot: int
     cam_slot: int
     cam_group: str
@@ -102,6 +103,19 @@ def _ell_tables(owner_idx: np.ndarray, n_owners: int):
     return tbl, mask
 
 
+# Dense-Schur routing gates: the reduced camera system is formed DENSELY
+# and solved by one MXU Cholesky when the pose tangent block is small
+# enough. Rationale (all measured on a v5e, see CLAUDE.md): TPU dynamic
+# gathers cost ~0.4 ns per gathered element, so the implicit Schur matvec
+# pays ~2*E lookups per PCG iteration (~260 us at 80k observations), while
+# a dense [Tp, Tp] Cholesky at Tp=600 runs in 0.7 ms TOTAL and the
+# densified W products ride the MXU. Above the gates (big camera counts)
+# the dense product's (3L)*(Tp^2) FLOPs blow up and the implicit
+# matrix-free PCG path takes over.
+_DENSE_SCHUR_MAX_TP = 1536
+_DENSE_SCHUR_MAX_OPERAND_BYTES = 3e8
+
+
 def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
     """Host symbolic phase. Requires: every edge group with a marginalized
     slot is binary (landmark, pose)."""
@@ -131,12 +145,26 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
         lm_tbl, lm_mask = _ell_tables(li, lg.count)
         cam_tbl, cam_mask = _ell_tables(ci, slot_groups[sc].count)
         dt = problem.dtype
+        # dense-Schur densify operand (see gate rationale above): a {0,1}
+        # tensor oh[c, k, l] selecting, for landmark l's k-th observation,
+        # its camera column — turns the W densification into one MXU einsum
+        C = slot_groups[sc].count
+        L, K_l = lm_tbl.shape
+        itemsize = np.dtype(problem.dtype).itemsize
+        onehot = None
+        if (C * K_l * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES
+                and K_l <= 2 * _K_CHUNK):
+            oh = np.zeros((C, K_l, L), dtype=np.float32)
+            kk, ll = np.meshgrid(np.arange(K_l), np.arange(L), indexing="ij")
+            oh[ci[lm_tbl].T, kk, ll] = lm_mask.T
+            onehot = jnp.asarray(oh, dtype=dt)
         proj.append(ProjGroupPattern(
             jnp.asarray(lm_tbl), jnp.asarray(lm_mask, dtype=dt),
             jnp.asarray(cam_tbl), jnp.asarray(cam_mask, dtype=dt),
             jnp.asarray(li.astype(np.int32)), jnp.asarray(ci.astype(np.int32)),
             jnp.asarray(ci[lm_tbl].astype(np.int32)),
             jnp.asarray(li[cam_tbl].astype(np.int32)),
+            onehot,
             eg.key, sl, sc, slot_groups[sc].name, lg.name))
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
@@ -172,10 +200,18 @@ def _eye_lane(D, dtype):
     return jnp.eye(D, dtype=dtype)[:, :, None]
 
 
+def _bmm_lane(A, B):
+    """C[a, c, n] = sum_b A[a, b, n] B[b, c, n] — lane-major small matmul."""
+    return (A[:, :, None] * B[None]).sum(axis=1)
+
+
 def _inv_lane(A):
     """Inverse of a [D, D, N] stack of small SPD matrices, elementwise on
-    N-lane arrays (closed-form adjugate for D <= 3; transpose fallback for
-    larger D, used once per solve on the small camera-block stacks)."""
+    N-lane arrays: closed-form adjugate for D <= 3, recursive 2x2-block
+    Schur inversion above (D=6 camera blocks split into 3x3 quadrants) —
+    never touches jnp.linalg.inv, whose batched-LU lowering dominates the
+    solve setup on TPU (measured ~2-3 ms of a 3.8 ms setup at the 80k-obs
+    bench shape)."""
     D = A.shape[0]
     if D == 1:
         return 1.0 / A
@@ -198,7 +234,19 @@ def _inv_lane(A):
                          jnp.stack([A21, A22, A23]),
                          jnp.stack([A31, A32, A33])])
         return adj * inv_det[None, None]
-    return jnp.moveaxis(jnp.linalg.inv(jnp.moveaxis(A, -1, 0)), 0, -1)
+    # blockwise Schur inversion: A = [[P, Q], [R, S]], SPD
+    k = D // 2
+    P, Q = A[:k, :k], A[:k, k:]
+    R, S = A[k:, :k], A[k:, k:]
+    Pi = _inv_lane(P)
+    PiQ = _bmm_lane(Pi, Q)
+    Ti = _inv_lane(S - _bmm_lane(R, PiQ))
+    RPi = _bmm_lane(R, Pi)
+    TiRPi = _bmm_lane(Ti, RPi)
+    return jnp.concatenate([
+        jnp.concatenate([Pi + _bmm_lane(PiQ, TiRPi),
+                         -_bmm_lane(PiQ, Ti)], axis=1),
+        jnp.concatenate([-TiRPi, Ti], axis=1)], axis=0)
 
 
 # -- packed K-major tables ---------------------------------------------------
@@ -430,8 +478,38 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
                         jnp.swapaxes(blk, 1, 2))
     has_extra = bool(pattern.pose_only_keys)
 
+    # dense-Schur operand: densify W into [Tp, dl*L] ONCE per
+    # linearization (it is lambda-independent, so LM trial retries reuse
+    # it) through the static one-hot selector — a batched-over-landmarks
+    # MXU contraction, no gathers/scatters. See the _DENSE_SCHUR gates.
+    pose_groups = [g for g in problem.static.vgroups
+                   if g.offset < problem.static.pose_dim]
+    itemsize = np.dtype(problem.dtype).itemsize
+    dense_ok = (
+        Tp <= _DENSE_SCHUR_MAX_TP
+        and proj_data
+        and all(pd["pg"].lm_cam_onehot is not None
+                and pd["W_lm"][0] == "flat" for pd in proj_data)
+        and Tp * dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
+    B2 = None
+    if dense_ok:
+        parts = []
+        for g in pose_groups:
+            D = g.tangent_dim
+            bg = jnp.zeros((g.count * D, dl * L), dt)
+            for pd in proj_data:
+                pg = pd["pg"]
+                if pg.cam_group != g.name:
+                    continue
+                W4 = pd["W_lm"][1].reshape(pd["Dp"], dl, -1, L)
+                bg = bg + jnp.einsum("ckl,stkl->cstl",
+                                     pg.lm_cam_onehot, W4).reshape(
+                    g.count * D, dl * L)
+            parts.append(bg)
+        B2 = jnp.concatenate(parts, axis=0)
+
     return {"Hll": Hll, "b_l": b_l, "groups": groups, "proj": proj_data,
-            "Hpp_extra": Hpp_extra, "b_extra": b_extra,
+            "Hpp_extra": Hpp_extra, "b_extra": b_extra, "B2": B2,
             "has_extra": has_extra, "L": L, "dl": dl, "Tp": Tp}
 
 
@@ -480,71 +558,103 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             out[g.name] = seg.reshape(g.count, g.tangent_dim).T
         return out
 
-    # reduced rhs: b_red = b_p - W Hll^-1 b_l
     hib = _bmv_lane(Hinv, b_l)                           # [dl, L]
-    b_red = {g.name: sys["groups"].get(g.name, {"bT": jnp.zeros(
+    b_p = {g.name: sys["groups"].get(g.name, {"bT": jnp.zeros(
         (g.tangent_dim, g.count), dt)})["bT"] for g in pose_groups}
-    for pd in sys["proj"]:
-        pg = pd["pg"]
-        b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_w_lane(
-            pd["W_cam"], pd["cam_lm"], hib, pd["Dp"], dl, to_lm=False)
     if has_extra:
         extra = flat_to_parts(sys["b_extra"])
-        b_red = {k: b_red[k] + extra[k] for k in b_red}
+        b_p = {k: b_p[k] + extra[k] for k in b_p}
 
-    def s_matvec(xT):
-        """Implicit S x = (Hcc - W Hll^-1 W^T) x, owner-on-lanes: gathers
-        touch only the small [D, N] vector tables; the heavy W tables are
-        read sequentially by the multiply-reduces."""
-        y = {g.name: _bmv_lane(Hcc_d[g.name], xT[g.name])
-             for g in pose_groups}
+    if sys["B2"] is not None:
+        # ---- dense Schur: W was densified once per linearization in
+        # _build (B2, [Tp, dl*L]); the per-trial work is one batched
+        # Hll^-1 application, one MXU matmul for S = Hcc - W Hinv W^T, and
+        # one [Tp, Tp] Cholesky. No PCG loop: at small Tp the whole exact
+        # solve costs about as much as three implicit PCG iterations'
+        # worth of gathers (measured on a v5e, see CLAUDE.md), and the
+        # rhs/back-substitution couplings become dense matvecs too.
+        from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
+        Tp = sys["Tp"]
+        B2 = sys["B2"]
+        B2r = B2.reshape(Tp, dl, L)
+        HB2 = jnp.einsum("utl,ctl->cul", Hinv, B2r).reshape(Tp, dl * L)
+        S_corr = B2 @ HB2.T
+        S = -0.5 * (S_corr + S_corr.T)
+        for g in pose_groups:
+            D = g.tangent_dim
+            gidx = (g.offset + jnp.arange(g.count)[:, None] * D
+                    + jnp.arange(D)[None, :])
+            S = S.at[gidx[:, :, None], gidx[:, None, :]].add(
+                jnp.moveaxis(Hcc_d[g.name], -1, 0))
         if has_extra:
-            flat = sys["Hpp_extra"] @ parts_to_flat(xT)
-            extra = flat_to_parts(flat)
-            y = {k: y[k] + extra[k] for k in y}
+            S = S + sys["Hpp_extra"]
+        free_flat = parts_to_flat({k: jnp.broadcast_to(
+            free_p[k][None], b_p[k].shape) for k in b_p})
+        b_flat = (parts_to_flat(b_p) - B2 @ hib.reshape(-1)) * free_flat
+        dx_flat, ok = solve_dense_cholesky(S, b_flat)
+        dx_p = flat_to_parts(dx_flat * free_flat)
+        u = (B2.T @ dx_flat).reshape(dl, L)
+    else:
+        # ---- implicit matrix-free PCG on S, block-Jacobi preconditioned
+        b_red = dict(b_p)
+        for pd in sys["proj"]:
+            pg = pd["pg"]
+            b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_w_lane(
+                pd["W_cam"], pd["cam_lm"], hib, pd["Dp"], dl, to_lm=False)
+        b_red = {k: b_red[k] * free_p[k][None] for k in b_red}
+
+        def s_matvec(xT):
+            """Implicit S x = (Hcc - W Hll^-1 W^T) x, owner-on-lanes:
+            gathers touch only the small [D, N] vector tables; the heavy W
+            tables are read sequentially by the multiply-reduces."""
+            y = {g.name: _bmv_lane(Hcc_d[g.name], xT[g.name])
+                 for g in pose_groups}
+            if has_extra:
+                flat = sys["Hpp_extra"] @ parts_to_flat(xT)
+                extra = flat_to_parts(flat)
+                y = {k: y[k] + extra[k] for k in y}
+            u = jnp.zeros((dl, L), dtype=dt)
+            for pd in sys["proj"]:
+                pg = pd["pg"]
+                u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"],
+                                      xT[pg.cam_group], pd["Dp"], dl,
+                                      to_lm=True)
+            v = _bmv_lane(Hinv, u)
+            for pd in sys["proj"]:
+                pg = pd["pg"]
+                y[pg.cam_group] = y[pg.cam_group] - _apply_w_lane(
+                    pd["W_cam"], pd["cam_lm"], v, pd["Dp"], dl, to_lm=False)
+            return y
+
+        s_blocks = dict(Hcc_d)
+        for pd in sys["proj"]:
+            pg = pd["pg"]
+            corr = _sandwich_lane(pd["W_cam"], pd["cam_lm"], Hinv,
+                                  pd["Dp"], dl)
+            s_blocks[pg.cam_group] = s_blocks[pg.cam_group] - corr
+        s_binv = {k: _inv_lane(v) for k, v in s_blocks.items()}
+
+        def precond(rT):
+            return {k: _bmv_lane(s_binv[k], rT[k]) for k in rT}
+
+        dx_p, ok = pcg_solve(s_matvec, b_red, precond=precond,
+                             max_iter=pcg_iters, tol=pcg_tol, norm="precond",
+                             unroll=2)
+        dx_p = {k: dx_p[k] * free_p[k][None] for k in dx_p}
+        # back-substitution coupling: u = W^T dx_p
         u = jnp.zeros((dl, L), dtype=dt)
         for pd in sys["proj"]:
             pg = pd["pg"]
             u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"],
-                                  xT[pg.cam_group], pd["Dp"], dl, to_lm=True)
-        v = _bmv_lane(Hinv, u)
-        for pd in sys["proj"]:
-            pg = pd["pg"]
-            y[pg.cam_group] = y[pg.cam_group] - _apply_w_lane(
-                pd["W_cam"], pd["cam_lm"], v, pd["Dp"], dl, to_lm=False)
-        return y
-
-    # block-Jacobi preconditioner on diag(S)
-    s_blocks = dict(Hcc_d)
-    for pd in sys["proj"]:
-        pg = pd["pg"]
-        corr = _sandwich_lane(pd["W_cam"], pd["cam_lm"], Hinv, pd["Dp"], dl)
-        s_blocks[pg.cam_group] = s_blocks[pg.cam_group] - corr
-    s_binv = {k: _inv_lane(v) for k, v in s_blocks.items()}
-
-    def precond(rT):
-        return {k: _bmv_lane(s_binv[k], rT[k]) for k in rT}
-
-    b_red = {k: b_red[k] * free_p[k][None] for k in b_red}
-    dx_p, ok = pcg_solve(s_matvec, b_red, precond=precond,
-                         max_iter=pcg_iters, tol=pcg_tol, norm="precond")
-    dx_p = {k: dx_p[k] * free_p[k][None] for k in dx_p}
+                                  dx_p[pg.cam_group], pd["Dp"], dl,
+                                  to_lm=True)
 
     # back-substitution: dx_l = Hll^-1 (b_l - W^T dx_p)
-    u = jnp.zeros((dl, L), dtype=dt)
-    for pd in sys["proj"]:
-        pg = pd["pg"]
-        u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"], dx_p[pg.cam_group],
-                              pd["Dp"], dl, to_lm=True)
     dx_l = _bmv_lane(Hinv, b_l - u) * free_l[None]
 
     dxT = dict(dx_p)
     dxT[pattern.lm_name] = dx_l
-    bT = {g.name: sys["groups"].get(g.name, {"bT": jnp.zeros(
-        (g.tangent_dim, g.count), dt)})["bT"] for g in pose_groups}
-    if has_extra:
-        extra = flat_to_parts(sys["b_extra"])
-        bT = {k: bT[k] + extra[k] for k in bT}
+    bT = dict(b_p)
     bT[pattern.lm_name] = b_l
     return dxT, ok, bT
 

@@ -83,6 +83,11 @@ class TestKChunking:
         args = (st["params"], st["lam"], st["ni"], st["chi2"])
 
         pat_flat = build_ba_ell_pattern(prob)
+        # pin both runs to the implicit-PCG branch: this test asserts the
+        # chunk-scan is ARITHMETICALLY identical to the flat gather, which
+        # only holds within one solver (the flat case would otherwise route
+        # to the dense-Cholesky fast path)
+        monkeypatch.setattr(ba_ell, "_DENSE_SCHUR_MAX_TP", -1)
         # the unjitted function — a jitted call would hit the jit cache and
         # silently reuse the flat trace despite the monkeypatch
         step = _lm_ba_ell_step.__wrapped__

@@ -86,6 +86,23 @@ class TestBatchedChol:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestLaneInverse:
+    """Closed-form lane-major [D, D, N] inverse (ba_ell._inv_lane):
+    adjugate for D <= 3, recursive blockwise Schur above."""
+
+    @pytest.mark.parametrize("D", [1, 2, 3, 4, 6, 7])
+    def test_matches_numpy(self, D):
+        from openslam_g2o_tpu.core.ba_ell import _inv_lane
+        rng = np.random.default_rng(20 + D)
+        M = rng.normal(size=(24, D, D))
+        A = M @ np.swapaxes(M, 1, 2) + 3 * np.eye(D)
+        A_lane = jnp.asarray(np.moveaxis(A, 0, -1))
+        inv = np.moveaxis(np.asarray(_inv_lane(A_lane)), -1, 0)
+        np.testing.assert_allclose(inv @ A,
+                                   np.broadcast_to(np.eye(D), A.shape),
+                                   rtol=1e-4, atol=1e-6)
+
+
 class TestChebyshevPrecond:
     """Chebyshev polynomial preconditioner: SPD for any spectrum in
     (0, hi], and CG under it reaches the same solution in fewer outer
