@@ -578,6 +578,31 @@ def _progress(msg):
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
+# BA convergence gate: the synthetic scenes have a computable noise-floor
+# chi2 (expected_ba_chi2); the solver must land within 2% of it. The CPU
+# baseline must pass the same gate — a shared standard, not a self-grade.
+BA_CHI2_GATE = 1.02
+
+
+def _ba_section(ba, base_ips, base_chi, n_cams, n_points):
+    ips, chi, n_obs, roof, ate = ba
+    exp = expected_ba_chi2(n_obs, n_cams, n_points)
+    return {
+        "iters_per_sec": round(ips, 2),
+        "vs_baseline": round(ips / base_ips, 1),
+        "cpu_baseline_iters_per_sec": round(base_ips, 3),
+        "final_chi2": round(chi, 1),
+        "noise_floor_chi2": round(exp, 1),
+        "chi2_gate": BA_CHI2_GATE,
+        "converged_to_noise_floor": bool(chi <= exp * BA_CHI2_GATE),
+        "cpu_baseline_final_chi2": round(float(base_chi), 1),
+        "cpu_baseline_converged": bool(base_chi <= exp * BA_CHI2_GATE),
+        "n_observations": int(n_obs),
+        "ate_rmse_points_vs_gt": ate,
+        "roofline": roof,
+    }
+
+
 def main():
     from openslam_g2o_tpu.utils.ate import ate_rmse
     from openslam_g2o_tpu.utils import roofline as RL
@@ -588,11 +613,17 @@ def main():
     pcg_roof = run_pcg_roofline()
     _progress("pcg roofline done")
     ba80 = run_tpu_ba(n_cams=100, n_points=10000, obs_per_point=8,
-                      pcg_iters=30, pcg_tol=0.05)
+                      pcg_iters=30, pcg_tol=0.05, n_converge=15)
     _progress(f"ba80k done: {ba80[0]:.2f} it/s")
     ba400 = run_tpu_ba(n_cams=900, n_points=50000, obs_per_point=8,
-                       pcg_iters=30, pcg_tol=0.05, n_timed=5, n_converge=5)
+                       pcg_iters=30, pcg_tol=0.05, n_timed=5, n_converge=8)
     _progress(f"ba400k done: {ba400[0]:.2f} it/s")
+    ba80_base, ba80_base_chi = run_cpu_ba_baseline(
+        100, 10000, 8, n_iters=3, converge_iters=15)
+    _progress(f"cpu ba80k baseline done: {ba80_base:.3f} it/s")
+    ba400_base, ba400_base_chi = run_cpu_ba_baseline(
+        900, 50000, 8, n_iters=2, converge_iters=8)
+    _progress(f"cpu ba400k baseline done: {ba400_base:.3f} it/s")
     incr = run_incremental()
     _progress(f"incremental done: {incr['vertices_per_sec']} v/s")
     base_ips, base_chi, ref_xy = run_cpu_baseline()
@@ -613,22 +644,14 @@ def main():
         "cpu_baseline_converged_chi2": round(float(base_chi), 3),
         "device": RL.chip_peaks()["device_kind"],
         "pcg_iteration_roofline": pcg_roof,
-        "ba_80k": {
-            "iters_per_sec": round(ba80[0], 2),
-            "final_chi2": round(ba80[1], 1),
-            "n_observations": int(ba80[2]),
-            "ate_rmse_points_vs_gt": ba80[4],
-            "roofline": ba80[3],
-        },
-        "ba_400k_venice_scale": {
-            "iters_per_sec": round(ba400[0], 2),
-            "final_chi2": round(ba400[1], 1),
-            "n_observations": int(ba400[2]),
-            "ate_rmse_points_vs_gt": ba400[4],
-            "roofline": ba400[3],
-            "note": "real venice871.g2o is behind a zero-egress download.sh;"
-                    " synthetic generator with the same structure stands in",
-        },
+        "ba_80k": _ba_section(ba80, ba80_base, ba80_base_chi,
+                              n_cams=100, n_points=10000),
+        "ba_400k_venice_scale": dict(
+            _ba_section(ba400, ba400_base, ba400_base_chi,
+                        n_cams=900, n_points=50000),
+            note="real venice871.g2o is behind a zero-egress download.sh;"
+                 " synthetic generator with the same structure stands in",
+        ),
         "incremental": incr,
     }))
 

@@ -115,28 +115,56 @@ def linearize_cost(problem, itemsize: int = 4) -> PhaseCost:
 
 def ba_ell_step_cost(problem, pattern, pcg_iters: int,
                      itemsize: int = 4) -> PhaseCost:
-    """One dual-ELL Schur LM step: linearize + Schur reduction + pcg_iters
-    iterations on the reduced camera system (core/ba_ell.py layout)."""
+    """One dual-ELL Schur LM step (core/ba_ell.py).
+
+    Models whichever solve branch the pattern routes to: the dense-Schur
+    path (one-hot densify + [Tp, Tp] MXU Cholesky — dominated by the
+    S = B Hinv B^T matmul, 2 * Tp^2 * (dl*L) FLOPs) when the dense operand
+    is present and the gates pass, else the implicit matrix-free PCG path
+    (per-iteration W gathers + multiply-reduces)."""
     lin = linearize_cost(problem, itemsize)
     flops, bts = lin.flops, lin.bytes
     pose_g = [g for g in problem.static.vgroups
               if not g.vtype.marginalizable]
     lm_g = [g for g in problem.static.vgroups if g.vtype.marginalizable]
     n_obs = sum(eg.count for eg in problem.static.egroups)
-    if lm_g:
-        Dl = lm_g[0].tangent_dim
-        L = lm_g[0].count
-        flops += L * (Dl ** 3) * 2        # Hll inverse (closed form ~2D^3)
-        bts += L * Dl * Dl * itemsize * 2
-    if pose_g:
-        Dp = pose_g[0].tangent_dim
-        # W Hll^-1 W^T outer products per observation pair via the ELL
-        flops += 4.0 * n_obs * Dp * Dl * (Dp + Dl)
-        bts += n_obs * Dp * Dl * itemsize * 3
-        # reduced-system PCG: dense-ish camera-camera ELL
-        cam_pairs = n_obs  # upper bound on camera-camera fill contributions
-        flops += pcg_iters * 2.0 * cam_pairs * Dp * Dp
-        bts += pcg_iters * cam_pairs * Dp * Dp * itemsize
+    if not (lm_g and pose_g):
+        return PhaseCost("ba_ell_lm_step", flops, bts)
+    Dl = lm_g[0].tangent_dim
+    L = lm_g[0].count
+    Dp = pose_g[0].tangent_dim
+    Tp = problem.static.pose_dim
+    flops += L * (Dl ** 3) * 2            # Hll inverse (closed form ~2D^3)
+    bts += L * Dl * Dl * itemsize * 2
+
+    from openslam_g2o_tpu.core.ba_ell import (
+        _DENSE_SCHUR_MAX_TP, _DENSE_SCHUR_MAX_OPERAND_BYTES)
+    dense = (pattern.proj
+             and all(pg.lm_cam_onehot is not None for pg in pattern.proj)
+             and Tp <= _DENSE_SCHUR_MAX_TP
+             and Tp * Dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
+    if dense:
+        K = pattern.proj[0].lm_edge_idx.shape[1]
+        B_bytes = Tp * Dl * L * itemsize
+        # densify (once per linearization) + Hinv apply + S matmul +
+        # Cholesky + rhs/backsub matvecs
+        flops += 2.0 * Tp * 3 * L * K          # one-hot contraction
+        bts += L * K * (Tp + Dp * Dl) * itemsize + B_bytes
+        flops += 2.0 * Tp * Dl * Dl * L        # HB = Hinv o B
+        bts += 2.0 * B_bytes
+        flops += 2.0 * Tp * Tp * (Dl * L)      # S = B @ HB^T (MXU)
+        bts += 2.0 * B_bytes + Tp * Tp * itemsize
+        flops += Tp ** 3 / 3.0                 # Cholesky
+        bts += 3.0 * Tp * Tp * itemsize
+        flops += 2 * 2.0 * Tp * Dl * L         # rhs + backsub matvecs
+        bts += 2.0 * B_bytes
+        return PhaseCost("ba_ell_lm_step_dense", flops, bts)
+    # implicit PCG: W Hll^-1 W^T products per observation pair via the ELL
+    flops += 4.0 * n_obs * Dp * Dl * (Dp + Dl)
+    bts += n_obs * Dp * Dl * itemsize * 3
+    flops += pcg_iters * 4.0 * n_obs * Dp * Dl
+    bts += pcg_iters * n_obs * (2 * Dp * Dl * itemsize + Dp * itemsize
+                                + Dl * itemsize + 8)
     return PhaseCost("ba_ell_lm_step", flops, bts)
 
 
