@@ -528,7 +528,7 @@ def run_incremental():
     import jax.numpy as jnp
     from openslam_g2o_tpu.io.g2o_format import load_g2o
     from openslam_g2o_tpu.core.online import OnlineOptimizer
-    from openslam_g2o_tpu.core.algorithms import LevenbergMarquardt
+    from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
 
     g = load_g2o(INTEL)
     ids = sorted(g.vertices)
@@ -538,7 +538,10 @@ def run_incremental():
         by_new_vertex.setdefault(anchor, []).append(e)
 
     def replay():
-        oo = OnlineOptimizer(algorithm=LevenbergMarquardt(),
+        # the ELL-PCG fast path: padding-masked pattern per solve, device
+        # solve in milliseconds (online.py solve() docstring)
+        oo = OnlineOptimizer(algorithm=LevenbergMarquardtPCG(
+                                 pcg_iters=200, pcg_tol=1e-2),
                              iterations_per_solve=2, dtype=jnp.float32,
                              bucket=lambda n, minimum=64: 2048)
         t0 = time.monotonic()

@@ -363,6 +363,13 @@ class LevenbergMarquardtPCG:
             self._pattern_for = prob.static
         return self._pattern
 
+    def use_pattern(self, prob: Problem, pattern):
+        """Install an externally-built ELL pattern (e.g. the incremental
+        engine's padding-masked one, sparse.build_ell_pattern(edge_valid=))
+        for this problem's static shape."""
+        self._pattern = pattern
+        self._pattern_for = prob.static
+
     def init(self, prob: Problem):
         pattern = self.pattern(prob)
         if self.initial_lambda > 0:

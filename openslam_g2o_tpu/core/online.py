@@ -39,6 +39,18 @@ from openslam_g2o_tpu.core.algorithms import GaussNewton, optimize
 
 __all__ = ["OnlineOptimizer", "bucket_pow2"]
 
+_robust_chi2_jit = None
+
+
+def _jitted_robust_chi2():
+    """Module-cached jit of robust_chi2 (a fresh jax.jit wrapper per call
+    would retrace every solve)."""
+    global _robust_chi2_jit
+    if _robust_chi2_jit is None:
+        import jax
+        _robust_chi2_jit = jax.jit(P.robust_chi2)
+    return _robust_chi2_jit
+
 
 def bucket_pow2(n: int, minimum: int = 64) -> int:
     """Next power-of-two bucket (>= minimum)."""
@@ -145,6 +157,10 @@ class OnlineOptimizer:
         self._solves = 0
         self._last_static = None
         self._compiles = 0
+        # fast-path LM state carried across solves (device scalars — never
+        # synced to host): lambda/nu warm-start the next solve's trial loop
+        self._warm_lam = None
+        self._warm_ni = None
 
     # -- graph views --------------------------------------------------------
 
@@ -166,12 +182,12 @@ class OnlineOptimizer:
 
     def add_vertex(self, vid: int, type_name: str, params=None):
         vt = registry.vertex_type(type_name)
-        if params is None:
-            params = np.asarray(vt.origin(np.float64))
-        rec = self._graph.add_vertex(vid, type_name, params)
         buf = self._vbufs.get(type_name)
         if buf is None:
             buf = self._vbufs[type_name] = _VGroupBuf(vt, 64)
+        if params is None:
+            params = buf.origin      # cached host copy — no device op
+        rec = self._graph.add_vertex(vid, type_name, params)
         self._local[vid] = (type_name, buf.append(rec.params, rec.fixed))
         return rec
 
@@ -195,15 +211,23 @@ class OnlineOptimizer:
         if et.initial_estimate is not None and et.num_vertices == 2:
             v0p = self._params_of(vertex_ids[0])
             v1p = self._params_of(vertex_ids[1])
-            vt1 = self._graph.vertices[vertex_ids[1]].vtype
-            vt0 = self._graph.vertices[vertex_ids[0]].vtype
-            origin1 = np.asarray(vt1.origin(np.float64))
+            # cached HOST origins (the buffers hold one per type): calling
+            # vt.origin() here would dispatch a device op per added edge —
+            # through the TPU tunnel that is ~10 ms each and dominated the
+            # whole replay (measured: 50 s of a 61 s intel session)
+            origin1 = self._vbufs[self._local[vertex_ids[1]][0]].origin
+            origin0 = self._vbufs[self._local[vertex_ids[0]][0]].origin
             if np.array_equal(v1p, origin1) and not np.array_equal(
-                    v0p, np.asarray(vt0.origin(np.float64))):
-                est = et.initial_estimate(
-                    (v0p, v1p), rec.measurement,
-                    tuple(self._graph.parameters[p][1] for p in rec.param_ids),
-                    1)
+                    v0p, origin0):
+                import jax
+                # chain-init math on the host CPU backend: a handful of
+                # eager ops; keeps the ADD path free of device round-trips
+                with jax.default_device(jax.devices("cpu")[0]):
+                    est = et.initial_estimate(
+                        (v0p, v1p), rec.measurement,
+                        tuple(self._graph.parameters[p][1]
+                              for p in rec.param_ids),
+                        1)
                 if est is not None:
                     self._set_params(vertex_ids[1], np.asarray(est))
         kid = robust.kernel_id(rec.kernel)
@@ -285,7 +309,17 @@ class OnlineOptimizer:
 
     def solve(self, iterations: Optional[int] = None):
         """Re-linearize and run a few iterations, warm-started from the
-        current estimates; result lands back in the incremental tables."""
+        current estimates; result lands back in the incremental tables.
+
+        Fast path: when the algorithm is pattern-based (LevenbergMarquardtPCG
+        — the TPU-native incremental configuration), the block-ELL pattern is
+        rebuilt host-side per solve with the zero-information bucket padding
+        masked OUT of the neighbor/contributor tables
+        (sparse.build_ell_pattern(edge_valid=...)); the device solve then
+        runs the same lane-major ELL-PCG step as the batch path, so a solve
+        costs milliseconds instead of the dense path's seconds. jit entries
+        are keyed on the (bucketed) shapes + the pattern's K/M paddings, so
+        a long-running session converges to a handful of compiles."""
         if not self._ebufs:
             return []
         if not any(buf.free[:buf.n].min() == 0.0
@@ -295,8 +329,38 @@ class OnlineOptimizer:
         if prob.static != self._last_static:
             self._compiles += 1
             self._last_static = prob.static
-        out, stats = optimize(prob, self.algorithm,
-                              iterations=iterations or self.iterations)
+        if hasattr(self.algorithm, "use_pattern"):
+            import jax
+            import jax.numpy as jnp
+            from openslam_g2o_tpu.core.sparse import build_ell_pattern
+            from openslam_g2o_tpu.core.algorithms import (
+                _lambda_init_pcg, lm_pcg_optimize_fused)
+            valid = {
+                key: np.arange(prob.edges[key].measurement.shape[0])
+                < self._ebufs[key].n
+                for key in self._ebufs}
+            pattern = build_ell_pattern(prob, edge_valid=valid)
+            self.algorithm.use_pattern(prob, pattern)
+            a = self.algorithm
+            if self._warm_lam is None:
+                self._warm_lam = _lambda_init_pcg(
+                    prob, pattern, prob.params, jnp.asarray(a.tau, prob.dtype))
+                self._warm_ni = jnp.asarray(2.0, prob.dtype)
+            chi0 = _jitted_robust_chi2()(prob)
+            # the whole solve is ONE device program (lax.scan over LM
+            # steps) + one result sync — through a remote-tunnel TPU each
+            # extra dispatch/sync costs more than the compute itself
+            params, lam, ni, chi, traj = lm_pcg_optimize_fused(
+                prob, pattern, prob.params, self._warm_lam, self._warm_ni,
+                chi0, n_iters=iterations or self.iterations,
+                pcg_iters=a.pcg_iters, pcg_tol=a.pcg_tol,
+                pcg_cheby=a.pcg_cheby)
+            self._warm_lam, self._warm_ni = lam, ni
+            out = prob.with_params(params)
+            stats = [{"chi2": float(c)} for c in np.asarray(traj)]
+        else:
+            out, stats = optimize(prob, self.algorithm,
+                                  iterations=iterations or self.iterations)
         for name, buf in self._vbufs.items():
             buf.params[:buf.n] = np.asarray(out.params[name])[:buf.n]
         self._graph_dirty = True

@@ -131,26 +131,31 @@ class EllPattern:
         return out
 
 
-def _contrib_tables(dest, n_dest):
+def _contrib_tables(dest, n_dest, stream_idx=None):
     """Sorted contributor ELL: [n_dest, M] indices into the contribution
-    stream + mask. None if the table would exceed the size limit."""
+    stream + mask. None if the table would exceed the size limit.
+
+    stream_idx: optional [len(dest)] positions of these contributions in
+    the FULL per-edge stream (used when invalid/padding edges were dropped
+    from `dest` but still occupy stream slots)."""
     counts = np.bincount(dest, minlength=n_dest)
     M = max(int(counts.max()) if len(dest) else 1, 1)
     if n_dest * M > _CONTRIB_TABLE_LIMIT:
         return None, None, M
-    order = np.argsort(dest, kind="stable").astype(np.int32)
+    order = np.argsort(dest, kind="stable").astype(np.int64)
     tbl = np.zeros((n_dest, M), dtype=np.int32)
     mask = np.zeros((n_dest, M), dtype=np.float32)
     starts = np.zeros(n_dest + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
     # column index of each sorted contribution within its destination row
     col = np.arange(len(dest), dtype=np.int64) - starts[dest[order]]
-    tbl[dest[order], col] = order
+    src = order if stream_idx is None else stream_idx[order]
+    tbl[dest[order], col] = src.astype(np.int32)
     mask[dest[order], col] = 1.0
     return tbl, mask, M
 
 
-def build_ell_pattern(problem) -> EllPattern:
+def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     """Host-side symbolic phase: walk the edge tables once and lay out
     neighbor slots AND destination-major contributor tables.
 
@@ -159,6 +164,14 @@ def build_ell_pattern(problem) -> EllPattern:
     (group(s), group(t)) table; repeated (i, j) pairs across edges share a
     slot (their contributions sum, exactly like the reference's shared
     mapped Hessian blocks, block_solver.hpp:143-295).
+
+    edge_valid: optional {egroup_key: [E] bool}. Edges marked invalid
+    (e.g. the zero-information bucket padding of the incremental engine,
+    which all point at vertex 0 and would otherwise explode the vertex-0
+    contributor row) are EXCLUDED from the neighbor/contributor tables —
+    their per-edge blocks are zero by construction, so dropping them is
+    exact. Their `positions` entries are 0, which the scatter fallback adds
+    harmlessly (zero blocks at slot 0).
     """
     # One host transfer per index column, then fully vectorized numpy: at
     # venice scale (~1e6 observations) this runs in well under a second where
@@ -198,8 +211,15 @@ def build_ell_pattern(problem) -> EllPattern:
         contribs = pair_rows[key]
         all_rows = np.concatenate([c[3] for c in contribs])
         all_cols = np.concatenate([c[4] for c in contribs])
+        if edge_valid is None:
+            vmask = np.ones(len(all_rows), dtype=bool)
+        else:
+            vmask = np.concatenate([
+                np.asarray(edge_valid[c[0]], dtype=bool)
+                if c[0] in edge_valid else np.ones(len(c[3]), dtype=bool)
+                for c in contribs])
         flat = all_rows * cg.count + all_cols
-        uniq, inverse = np.unique(flat, return_inverse=True)
+        uniq, inverse_v = np.unique(flat[vmask], return_inverse=True)
         u_rows = uniq // cg.count
         u_cols = uniq % cg.count
         # neighbor slot of each unique (row, col): rank within its row
@@ -221,7 +241,8 @@ def build_ell_pattern(problem) -> EllPattern:
                 .astype(np.float32)))
         else:
             self_masks.append(None)
-        pos_all = slot_of_unique[inverse].astype(np.int64)
+        pos_all = np.zeros(len(all_rows), dtype=np.int64)
+        pos_all[vmask] = slot_of_unique[inverse_v]
         off = 0
         for egkey, s, t, rows, _ in contribs:
             n = len(rows)
@@ -229,7 +250,9 @@ def build_ell_pattern(problem) -> EllPattern:
                 pos_all[off:off + n].astype(np.int32))
             off += n
         dest = (all_rows * K + pos_all).astype(np.int64)
-        ci, cm, M = _contrib_tables(dest, rg.count * K)
+        ci, cm, M = _contrib_tables(
+            dest[vmask], rg.count * K,
+            stream_idx=np.nonzero(vmask)[0] if not vmask.all() else None)
         contrib_idx.append(None if ci is None else jnp.asarray(ci))
         contrib_mask.append(None if cm is None else jnp.asarray(cm))
         contrib_m.append(M)
@@ -255,7 +278,16 @@ def build_ell_pattern(problem) -> EllPattern:
             b_m[g.name] = 1
             continue
         dest = np.concatenate([rows for _, _, rows in src])
-        ci, cm, M = _contrib_tables(dest, g.count)
+        if edge_valid is None:
+            bvmask = np.ones(len(dest), dtype=bool)
+        else:
+            bvmask = np.concatenate([
+                np.asarray(edge_valid[k], dtype=bool) if k in edge_valid
+                else np.ones(len(rows), dtype=bool)
+                for k, _, rows in src])
+        ci, cm, M = _contrib_tables(
+            dest[bvmask], g.count,
+            stream_idx=np.nonzero(bvmask)[0] if not bvmask.all() else None)
         b_idx[g.name] = None if ci is None else jnp.asarray(ci)
         b_mask[g.name] = None if cm is None else jnp.asarray(cm)
         b_m[g.name] = M

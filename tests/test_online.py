@@ -108,6 +108,33 @@ class TestOnline:
         final = oo.graph.compile()
         np.testing.assert_allclose(float(P.chi2(final)), batch_chi, atol=1e-6)
 
+    def test_incremental_pcg_fast_path_matches_batch(self):
+        """The ELL-PCG fast path (padding-masked pattern rebuilt per solve,
+        online.py solve()) reaches the batch minimum across bucket growth —
+        the incremental-engine parity the reference gets from cholmod rank
+        updates (graph_optimizer_sparse_incremental.cpp:194-420)."""
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+        g, _ = make_se2_chain(80, noise=0.15)   # crosses the 64-bucket edge
+        prob = g.compile()
+        out, stats = optimize(prob, LevenbergMarquardt(), iterations=15)
+        batch_chi = stats[-1]["chi2"]
+        oo = OnlineOptimizer(
+            algorithm=LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-10),
+            iterations_per_solve=3)
+        for vid, rec in g.vertices.items():
+            oo.add_vertex(vid, "se2", rec.params)
+            if rec.fixed:
+                oo.fix(vid)
+        for k, e in enumerate(g.edges):
+            oo.add_edge("edge_se2", e.vertex_ids, e.measurement, e.information)
+            if k % 10 == 9:
+                oo.solve()
+        oo.solve(iterations=8)
+        final = oo.graph.compile()
+        np.testing.assert_allclose(float(P.chi2(final)), batch_chi,
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestProtocol:
     def test_2d_session(self):
