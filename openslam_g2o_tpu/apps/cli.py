@@ -256,6 +256,11 @@ def main(argv=None):
         solver_kind = ("schur" if use_schur
                        else "pcg" if spec.backend == "pcg" else "dense")
         prof = profile_iteration(prob, solver_kind)
+        print("# profile NOTE: raw time_* values each include the "
+              f"per-program dispatch floor ({prof['dispatch_floor']*1e3:.2f}"
+              " ms on this backend); read the floor-subtracted time_*_net "
+              "fields, whose sum (iteration_total) cross-checks against the "
+              "fused one-program step (iteration_fused).", file=sys.stderr)
         for k, v in prof.items():
             print(f"# profile {k} = {v}", file=sys.stderr)
 
