@@ -207,8 +207,8 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
         assemble_ell, ell_add_diag_kmajor, ell_gershgorin_bound,
-        ell_matvec_lane_kmajor, ell_scale_jacobi_kmajor,
-        ell_values_to_kmajor, lane_block_mv)
+        ell_matvec_lane_kmajor_tiered, ell_scale_jacobi_kmajor,
+        ell_split_tiers_kmajor, ell_values_to_kmajor, lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         _tree_dot, batched_chol_inv_lower, batched_chol_lower,
         make_chebyshev_precond, pcg_solve)
@@ -256,11 +256,15 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
                 for name in dblocks}
         svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
                                           nbT=nbT)
+        # two-tier split: the CG matvec's cost is gather throughput, and
+        # the base+overflow tiers cut gathered elements ~1.5x vs the
+        # uniform max-degree table (EllPattern tier_* docstring)
+        tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
         linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
                      for name in linv}                     # [D, D, N]
         bhatT = lane_block_mv(linv_lane, bT)               # Linv b
-        mv = lambda xT: ell_matvec_lane_kmajor(work, pattern, svals_k, xT,
-                                               nbT=nbT)
+        mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
+                                                      xT)
         if dx0T is not None:
             lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
                                         0, -1) for name in dblocks}

@@ -41,7 +41,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec",
-           "ell_matvec_lane", "bmm_small"]
+           "ell_matvec_lane", "bmm_small", "ell_split_tiers_kmajor",
+           "ell_matvec_lane_kmajor_tiered"]
 
 # Above this many int32 entries in one contributor table, fall back to the
 # scatter assembly (a pathological hub vertex would otherwise explode the
@@ -63,9 +64,10 @@ def bmv_small(A, v):
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["nb_idx", "positions", "contrib_idx", "contrib_mask",
-                      "b_idx", "b_mask", "self_mask"],
+                      "b_idx", "b_mask", "self_mask", "tier_rows",
+                      "tier_lo_nbT", "tier_hi_nbT"],
          meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
-                      "b_sources"])
+                      "b_sources", "tier_kb"])
 @dataclass
 class EllPattern:
     """Static-topology ELL pattern for the whole block Hessian.
@@ -85,6 +87,15 @@ class EllPattern:
     self_mask: per pair, [N, K] float mask of the (i, i) self slot (None for
         off-diagonal pairs) — lets LM damping fold into the values once per
         trial (ell_add_diag) instead of one extra op pair per matvec.
+    tier_*: two-tier (base + overflow) split of the K axis for the hot-loop
+        matvec. The per-iteration cost of the K-major matvec is GATHER
+        THROUGHPUT (~0.4 ns per gathered element on a v5e), and a uniform
+        K = max-degree table wastes most of it on padding (Manhattan: K=10,
+        mean degree 5.1). tier_kb[pid] = Kb chosen to minimize total
+        gathered elements N*Kb + N_hi*(K-Kb); tier_rows = [N_hi] int32
+        rows with degree > Kb; tier_lo_nbT = [Kb, N] / tier_hi_nbT =
+        [K-Kb, N_hi] transposed neighbor tables. None/K when a single tier
+        is already optimal.
     """
     nb_idx: tuple
     positions: dict
@@ -93,12 +104,16 @@ class EllPattern:
     b_idx: dict
     b_mask: dict
     self_mask: tuple
+    tier_rows: tuple
+    tier_lo_nbT: tuple
+    tier_hi_nbT: tuple
     pairs: tuple
     K: tuple
     pair_of: tuple
     contrib_m: tuple
     b_m: dict
     b_sources: dict
+    tier_kb: tuple
 
     def pair_table(self, key):
         return dict(self.pair_of)[key]
@@ -205,6 +220,10 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     contrib_mask = []
     contrib_m = []
     self_masks = []
+    tier_rows_l = []
+    tier_lo_l = []
+    tier_hi_l = []
+    tier_kb_l = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -241,6 +260,23 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                 .astype(np.float32)))
         else:
             self_masks.append(None)
+        # two-tier split (see EllPattern docstring): choose the base width
+        # Kb minimizing gathered elements; only activate when it saves >15%
+        tier_kb_val, rows_hi, lo_nbT, hi_nbT = K, None, None, None
+        if K > 2:
+            costs = [(rg.count * kb + int((counts > kb).sum()) * (K - kb), kb)
+                     for kb in range(1, K)]
+            best_cost, best_kb = min(costs)
+            if best_cost < 0.85 * rg.count * K:
+                tier_kb_val = best_kb
+                rows_hi = np.nonzero(counts > best_kb)[0].astype(np.int32)
+                lo_nbT = np.ascontiguousarray(tbl[:, :best_kb].T)
+                hi_nbT = np.ascontiguousarray(tbl[rows_hi, best_kb:].T)
+        tier_rows_l.append(None if rows_hi is None else jnp.asarray(rows_hi))
+        tier_lo_l.append(None if lo_nbT is None else jnp.asarray(lo_nbT))
+        tier_hi_l.append(None if hi_nbT is None else jnp.asarray(hi_nbT))
+        tier_kb_l.append(tier_kb_val)
+
         pos_all = np.zeros(len(all_rows), dtype=np.int64)
         pos_all[vmask] = slot_of_unique[inverse_v]
         off = 0
@@ -295,8 +331,9 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     return EllPattern(tuple(nb_idx), positions,
                       tuple(contrib_idx), tuple(contrib_mask), b_idx, b_mask,
                       tuple(self_masks),
+                      tuple(tier_rows_l), tuple(tier_lo_l), tuple(tier_hi_l),
                       tuple(pair_names), tuple(Ks), tuple(pair_of),
-                      tuple(contrib_m), b_m, b_sources)
+                      tuple(contrib_m), b_m, b_sources, tuple(tier_kb_l))
 
 
 def _edge_blocks(problem, lin):
@@ -595,6 +632,64 @@ def ell_matvec_lane_kmajor(problem, pattern: EllPattern, values_k, xT: dict,
         xg = xg.reshape(Dc, K, rg.count)                 # [Dc, K, N]
         V = values_k[pid].reshape(Dr, Dc, K, rg.count)
         yT[rg_name] = yT[rg_name] + (V * xg[None]).sum(axis=(1, 2))
+    return yT
+
+
+def ell_split_tiers_kmajor(problem, pattern: EllPattern, values_k):
+    """Split K-major value tables into (base, overflow) tier operands:
+    per pair, (lo [Dr*Dc, Kb, N], hi [Dr*Dc, K-Kb, N_hi] or None). The hi
+    slice+column-gather is tiny (overflow rows only) and runs once per LM
+    trial, outside the CG loop."""
+    out = []
+    for pid in range(len(pattern.pairs)):
+        v = values_k[pid]
+        kb = pattern.tier_kb[pid]
+        rows = pattern.tier_rows[pid]
+        if rows is None:
+            out.append((v, None))
+            continue
+        lo = v[:, :kb, :]
+        hi = jnp.take(v[:, kb:, :], rows, axis=2)
+        out.append((lo, hi))
+    return tuple(out)
+
+
+def ell_matvec_lane_kmajor_tiered(problem, pattern: EllPattern, tiers,
+                                  xT: dict):
+    """y = H x on two-tier K-major tables (ell_split_tiers_kmajor output).
+
+    The base tier is the standard dense [Dr*Dc, Kb, N] gather+reduce; the
+    overflow tier gathers only its N_hi rows' extra neighbors and
+    scatter-adds its [Dr, N_hi] result into y (unique row ids — a tiny
+    scatter, far cheaper than the padding it avoids; see EllPattern tier_*
+    docstring for the gather-throughput rationale)."""
+    yT = {g.name: jnp.zeros((g.tangent_dim, g.count), dtype=problem.dtype)
+          for g in problem.static.vgroups}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        lo, hi = tiers[pid]
+        kb = pattern.tier_kb[pid]
+        if hi is None:
+            idx = pattern.nb_idx[pid].T
+            xg = jnp.take(xT[cg_name], idx.reshape(-1), axis=1)
+            V = lo.reshape(Dr, Dc, -1, rg.count)
+            yT[rg_name] = yT[rg_name] + (
+                V * xg.reshape(Dc, -1, rg.count)[None]).sum(axis=(1, 2))
+            continue
+        idx_lo = pattern.tier_lo_nbT[pid]
+        xg = jnp.take(xT[cg_name], idx_lo.reshape(-1), axis=1)
+        V = lo.reshape(Dr, Dc, kb, rg.count)
+        yT[rg_name] = yT[rg_name] + (
+            V * xg.reshape(Dc, kb, rg.count)[None]).sum(axis=(1, 2))
+        rows = pattern.tier_rows[pid]
+        idx_hi = pattern.tier_hi_nbT[pid]
+        n_hi = idx_hi.shape[1]
+        xg_hi = jnp.take(xT[cg_name], idx_hi.reshape(-1), axis=1)
+        Vh = hi.reshape(Dr, Dc, -1, n_hi)
+        y_hi = (Vh * xg_hi.reshape(Dc, -1, n_hi)[None]).sum(axis=(1, 2))
+        yT[rg_name] = yT[rg_name].at[:, rows].add(y_hi)
     return yT
 
 

@@ -115,7 +115,13 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         contrib_mask=tuple(None for _ in pattern.contrib_mask),
         b_idx={k: None for k in pattern.b_idx},
         b_mask={k: None for k in pattern.b_mask},
-        self_mask=tuple(None for _ in pattern.self_mask))
+        self_mask=tuple(None for _ in pattern.self_mask),
+        # the two-tier matvec split is a single-device hot-loop layout;
+        # this step's row-partitioned matvec slices nb_idx directly
+        tier_rows=tuple(None for _ in pattern.tier_rows),
+        tier_lo_nbT=tuple(None for _ in pattern.tier_lo_nbT),
+        tier_hi_nbT=tuple(None for _ in pattern.tier_hi_nbT),
+        tier_kb=tuple(pattern.K))
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes

@@ -226,6 +226,30 @@ class TestKMajorMatvec:
             np.testing.assert_array_equal(np.asarray(y0[k]),
                                           np.asarray(y1[k]))
 
+    def test_tiered_matvec_matches_kmajor(self):
+        """base+overflow tier split (ell_split_tiers_kmajor) must reproduce
+        the single-table K-major matvec exactly — it is a pure relayout of
+        the same gather+reduce, motivated only by gather throughput."""
+        import numpy as np
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.core.sparse import (
+            ell_matvec_lane_kmajor, ell_matvec_lane_kmajor_tiered,
+            ell_split_tiers_kmajor, ell_values_to_kmajor)
+        prob, pattern, values, _ = self._system()
+        assert any(r is not None for r in pattern.tier_rows), \
+            "intel should activate the two-tier split"
+        rng = np.random.default_rng(3)
+        xT = {g.name: jnp.asarray(
+            rng.standard_normal((g.tangent_dim, g.count)))
+            for g in prob.static.vgroups}
+        vk = ell_values_to_kmajor(prob, pattern, values)
+        y0 = ell_matvec_lane_kmajor(prob, pattern, vk, xT)
+        tiers = ell_split_tiers_kmajor(prob, pattern, vk)
+        y1 = ell_matvec_lane_kmajor_tiered(prob, pattern, tiers, xT)
+        for k in y0:
+            np.testing.assert_allclose(np.asarray(y0[k]), np.asarray(y1[k]),
+                                       rtol=1e-12, atol=1e-12)
+
     def test_gershgorin_dominates_power_iteration(self):
         import numpy as np
         import jax.numpy as jnp
