@@ -56,11 +56,23 @@ __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lm_edge_idx", "lm_mask", "cam_edge_idx", "cam_mask",
-                      "li", "ci", "lm_cam", "cam_lm", "lm_cam_onehot"],
+                      "li", "ci", "lm_cam", "cam_lm", "lm_cam_onehot",
+                      "lm_buckets", "cam_buckets"],
          meta_fields=["egkey", "lm_slot", "cam_slot", "cam_group", "lm_group"])
 @dataclasses.dataclass
 class ProjGroupPattern:
-    """Dual-ELL tables for one projection edge group."""
+    """Dual-ELL tables for one projection edge group.
+
+    lm_buckets / cam_buckets: degree-bucketed (sliced-ELL) owner tables —
+    tuples of (rows, eidxT, maskT, nbT) buckets, host-built. A uniform
+    K = max-degree table wastes gather throughput on padding when degrees
+    are skewed (the 400k-obs synthetic BAL has mean 444 observations per
+    camera but max 1768 — a 4.6x per-matvec waste, measured); each bucket
+    instead holds the owners whose degree falls in one power-of-two range,
+    with K_b its own ceiling. rows is None for an all-owners bucket;
+    eidxT/maskT index the per-edge stream; nbT holds the OTHER side's
+    vertex ids for the matvec gathers. Tables are [K_b, C_b], or chunked
+    [nch, _K_CHUNK, C_b] when K_b is large (XLA program-size bound)."""
     lm_edge_idx: jnp.ndarray    # [L, K_l] int32 edge ids (0-padded)
     lm_mask: jnp.ndarray        # [L, K_l] 1.0 valid / 0.0 pad
     cam_edge_idx: jnp.ndarray   # [C, K_c]
@@ -70,7 +82,9 @@ class ProjGroupPattern:
     lm_cam: jnp.ndarray         # [L, K_l] camera of each landmark slot
     cam_lm: jnp.ndarray         # [C, K_c] landmark of each camera slot
     lm_cam_onehot: jnp.ndarray  # [C, K_l, L] {0,1} or None — dense-Schur
-    egkey: str                  # densify operand (see _DENSE_SCHUR gates)
+    lm_buckets: tuple           # densify operand (see _DENSE_SCHUR gates)
+    cam_buckets: tuple
+    egkey: str
     lm_slot: int
     cam_slot: int
     cam_group: str
@@ -101,6 +115,70 @@ def _ell_tables(owner_idx: np.ndarray, n_owners: int):
         tbl[o, :len(seg)] = seg
         mask[o, :len(seg)] = 1.0
     return tbl, mask
+
+
+# Smallest bucket boundary of the sliced-ELL split: below this the padding
+# waste cannot exceed 64x the useful work on a handful of rows — not worth
+# extra program segments.
+_BUCKET_MIN = 64
+
+
+def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
+               dtype) -> tuple:
+    """Host: degree-bucketed owner tables (ProjGroupPattern bucket format).
+
+    tbl/mask [N, K] edge-id ELL; nb_ids [N, K] the other-side vertex id of
+    each slot. Single all-rows bucket when padding waste is <30% or K is
+    small; otherwise one bucket per power-of-two degree range."""
+    N, K = tbl.shape
+    counts = mask.sum(axis=1).astype(np.int64)
+
+    def pack(rows, kb):
+        if rows is None:
+            st, sm, sn = tbl[:, :kb], mask[:, :kb], nb_ids[:, :kb]
+        else:
+            st = tbl[rows][:, :kb]
+            sm = mask[rows][:, :kb]
+            sn = nb_ids[rows][:, :kb]
+        eidxT = np.ascontiguousarray(st.T)
+        maskT = np.ascontiguousarray(sm.T)
+        nbT = np.ascontiguousarray(sn.T)
+        if kb > 2 * _K_CHUNK:
+            nch = -(-kb // _K_CHUNK)
+            pad = nch * _K_CHUNK - kb
+            if pad:
+                eidxT = np.pad(eidxT, [(0, pad), (0, 0)])
+                maskT = np.pad(maskT, [(0, pad), (0, 0)])
+                nbT = np.pad(nbT, [(0, pad), (0, 0)])
+            cb = eidxT.shape[1]
+            eidxT = eidxT.reshape(nch, _K_CHUNK, cb)
+            maskT = maskT.reshape(nch, _K_CHUNK, cb)
+            nbT = nbT.reshape(nch, _K_CHUNK, cb)
+        return (None if rows is None else jnp.asarray(
+                    rows.astype(np.int32)),
+                jnp.asarray(eidxT.astype(np.int32)),
+                jnp.asarray(maskT, dtype=dtype),
+                jnp.asarray(nbT.astype(np.int32)))
+
+    total = max(int(counts.sum()), 1)
+    if K <= _BUCKET_MIN or N * K <= 1.3 * total:
+        return (pack(None, K),)
+    bounds = [0]
+    b = _BUCKET_MIN
+    while b < K:
+        bounds.append(b)
+        b *= 2
+    bounds.append(K)
+    out = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        rows = np.nonzero((counts > max(lo, 0)) & (counts <= hi)
+                          & (counts > 0))[0]
+        if len(rows) == 0:
+            continue
+        out.append(pack(rows, hi))
+    if not out:
+        out.append(pack(None, K))
+    return tuple(out)
 
 
 # Dense-Schur routing gates: the reduced camera system is formed DENSELY
@@ -165,6 +243,8 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
             jnp.asarray(ci[lm_tbl].astype(np.int32)),
             jnp.asarray(li[cam_tbl].astype(np.int32)),
             onehot,
+            _bucketize(lm_tbl, lm_mask, ci[lm_tbl], dt),
+            _bucketize(cam_tbl, cam_mask, li[cam_tbl], dt),
             eg.key, sl, sc, slot_groups[sc].name, lg.name))
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
@@ -249,146 +329,111 @@ def _inv_lane(A):
         jnp.concatenate([-TiRPi, Ti], axis=1)], axis=0)
 
 
-# -- packed K-major tables ---------------------------------------------------
+# -- bucketed K-major table consumers ---------------------------------------
 #
-# A packed table is ("flat", arr) with K whole, or ("chunked", arr) with a
-# leading scan axis of _K_CHUNK-sized chunks:
-#   index/mask: [K, N]            -> [nch, chunk, N]
-#   W tables:   [D, K, N]         -> [nch, D, chunk, N]
-# Chunking splits the K-major [K, N] axis contiguously (a pure reshape —
-# no transpose, unlike the round-2 owner-major packing).
+# Buckets come from _bucketize (host): per bucket, index/mask/nb tables are
+# [K_b, C_b] flat or [nch, _K_CHUNK, C_b] chunked (ndim tells which); rows
+# is None for an all-owners bucket, else the owner ids whose outputs the
+# bucket produces (disjoint across buckets -> scatter-SET into zeros).
 
-def _pack_tables_k(idx, mask):
-    """[N, K] row-major ELL (index, mask) -> packed k-major tables.
-    Zero-padded slots gather row 0 with zero mask — harmless by
-    construction."""
-    K = idx.shape[1]
-    idxT, maskT = idx.T, mask.T                          # [K, N]
-    if K <= 2 * _K_CHUNK:
-        return ("flat", idxT, maskT)
-    nch = -(-K // _K_CHUNK)
-    pad = nch * _K_CHUNK - K
-    if pad:
-        idxT = jnp.pad(idxT, [(0, pad), (0, 0)])
-        maskT = jnp.pad(maskT, [(0, pad), (0, 0)])
-    N = idxT.shape[1]
-    return ("chunked", idxT.reshape(nch, _K_CHUNK, N),
-            maskT.reshape(nch, _K_CHUNK, N))
-
-
-def _pack_gidx_k(gidx, packed_tables):
-    """Pack a [N, K] neighbor-gather table (lm_cam / cam_lm) into the same
-    k-major chunk layout as its W operand."""
-    kind = packed_tables[0]
-    gidxT = gidx.T                                       # [K, N]
-    if kind == "flat":
-        return ("flat", gidxT)
-    nch = packed_tables[1].shape[0]
-    pad = nch * _K_CHUNK - gidxT.shape[0]
-    if pad:
-        gidxT = jnp.pad(gidxT, [(0, pad), (0, 0)])
-    return ("chunked", gidxT.reshape(nch, _K_CHUNK, gidxT.shape[1]))
-
-
-def _reduce_k_lane(streamT, packed):
-    """Owner-sum of a per-edge lane-major stream: [D, E] -> [D, N] through
-    the packed table — one lane gather + masked K-reduce when flat, a scan
-    of chunk-sized ones when chunked."""
-    kind, idx, mask = packed
-    D = streamT.shape[0]
-
-    def one(ic, mc):
-        N = ic.shape[-1]
-        g = jnp.take(streamT, ic.reshape(-1), axis=1).reshape(D, -1, N)
-        return (g * mc[None]).sum(axis=1)
-
-    if kind == "flat":
-        return one(idx, mask)
-
+def _bucket_scan(one, eidxT, maskT, init):
     def body(acc, inp):
-        ic, mc = inp
-        return acc + one(ic, mc), None
-
-    init = jnp.zeros((D, idx.shape[-1]), dtype=streamT.dtype)
-    out, _ = jax.lax.scan(body, init, (idx, mask))
+        return acc + one(*inp), None
+    out, _ = jax.lax.scan(body, init, (eidxT, maskT))
     return out
 
 
-def _gather_w_lane(streamT, packed):
-    """Pre-gather the per-edge W stream [D, E] into the packed owner
-    layout: ("flat", [D, K, N]) or ("chunked", [nch, D, chunk, N]), with
-    padding slots zeroed by the mask."""
-    kind, idx, mask = packed
+def _reduce_k_lane(streamT, buckets, n_out):
+    """Owner-sum of a per-edge lane-major stream: [D, E] -> [D, n_out]."""
     D = streamT.shape[0]
-    if kind == "flat":
-        K, N = idx.shape
-        g = jnp.take(streamT, idx.reshape(-1), axis=1).reshape(D, K, N)
-        return ("flat", g * mask[None])
-    W_ch = jax.lax.map(
-        lambda im: jnp.take(streamT, im[0].reshape(-1), axis=1)
-        .reshape(D, *im[0].shape) * im[1][None], (idx, mask))
-    return ("chunked", W_ch)
+    out = jnp.zeros((D, n_out), dtype=streamT.dtype)
+
+    def one(ic, mc):
+        cb = ic.shape[-1]
+        g = jnp.take(streamT, ic.reshape(-1), axis=1).reshape(D, -1, cb)
+        return (g * mc[None]).sum(axis=1)
+
+    for rows, eidxT, maskT, _ in buckets:
+        if eidxT.ndim == 2:
+            r = one(eidxT, maskT)
+        else:
+            r = _bucket_scan(one, eidxT, maskT, jnp.zeros(
+                (D, eidxT.shape[-1]), dtype=streamT.dtype))
+        out = out + r if rows is None else out.at[:, rows].set(r)
+    return out
 
 
-def _apply_w_lane(W_packed, gidx_packed, xT, Dp, dl, to_lm: bool):
-    """The Schur coupling products, owner on lanes.
+def _gather_w_lane(streamT, buckets):
+    """Pre-gather the per-edge W stream [D, E] into per-bucket owner
+    layouts: list of [D, K_b, C_b] (or [nch, D, chunk, C_b] chunked), with
+    padding slots zeroed by the mask."""
+    D = streamT.shape[0]
+    out = []
+    for rows, eidxT, maskT, _ in buckets:
+        if eidxT.ndim == 2:
+            W = jnp.take(streamT, eidxT.reshape(-1), axis=1).reshape(
+                D, *eidxT.shape) * maskT[None]
+        else:
+            W = jax.lax.map(
+                lambda im: jnp.take(streamT, im[0].reshape(-1), axis=1)
+                .reshape(D, *im[0].shape) * im[1][None], (eidxT, maskT))
+        out.append(W)
+    return out
 
-    to_lm:  u[t, L] = sum_{k, s} W[s, t, k, L] * x[s, lm_cam[k, L]]
+
+def _apply_w_lane(W_list, buckets, xT, Dp, dl, to_lm: bool, n_out: int):
+    """The Schur coupling products, owner on lanes, bucket by bucket.
+
+    to_lm:  u[t, L] = sum_{k, s} W[s, t, k, L] * x[s, cam_of(k, L)]
             (W^T x: camera vector -> landmark space)
-    else:   y[s, C] = sum_{k, t} W[s, t, k, C] * v[t, cam_lm[k, C]]
+    else:   y[s, C] = sum_{k, t} W[s, t, k, C] * v[t, lm_of(k, C)]
             (W v: landmark vector -> camera space)
     """
-    kind = W_packed[0]
-    W = W_packed[1]
-    gidx = gidx_packed[1]
     Dx = Dp if to_lm else dl
+    D_out = dl if to_lm else Dp
+    dt = W_list[0].dtype
+    out = jnp.zeros((D_out, n_out), dtype=dt)
 
     def one(Wc, ic):
-        N = ic.shape[-1]
-        W4 = Wc.reshape(Dp, dl, -1, N)
-        xg = jnp.take(xT, ic.reshape(-1), axis=1).reshape(Dx, -1, N)
+        cb = ic.shape[-1]
+        W4 = Wc.reshape(Dp, dl, -1, cb)
+        xg = jnp.take(xT, ic.reshape(-1), axis=1).reshape(Dx, -1, cb)
         if to_lm:
             return (W4 * xg[:, None]).sum(axis=(0, 2))
         return (W4 * xg[None]).sum(axis=(1, 2))
 
-    if kind == "flat":
-        return one(W, gidx)
-
-    def body(acc, inp):
-        Wc, ic = inp
-        return acc + one(Wc, ic), None
-
-    D_out = dl if to_lm else Dp
-    init = jnp.zeros((D_out, W.shape[-1]), dtype=W.dtype)
-    out, _ = jax.lax.scan(body, init, (W, gidx))
+    for W, (rows, eidxT, _, nbT) in zip(W_list, buckets):
+        if eidxT.ndim == 2:
+            r = one(W, nbT)
+        else:
+            r = _bucket_scan(one, W, nbT, jnp.zeros(
+                (D_out, nbT.shape[-1]), dtype=dt))
+        out = out + r if rows is None else out.at[:, rows].set(r)
     return out
 
 
-def _sandwich_lane(W_packed, gidx_packed, M_lane, Dp, dl):
+def _sandwich_lane(W_list, buckets, M_lane, Dp, dl, n_out: int):
     """corr[s, v, C] = sum_k (W_k M_{lm(k)} W_k^T)[s, v] — the block-Jacobi
-    preconditioner correction on the reduced camera system, chunk-scanned
-    like _apply_w_lane. M_lane: [dl, dl, L]."""
-    kind = W_packed[0]
-    W = W_packed[1]
-    gidx = gidx_packed[1]
+    preconditioner correction on the reduced camera system, bucketed like
+    _apply_w_lane. M_lane: [dl, dl, L]."""
     Mflat = M_lane.reshape(dl * dl, -1)
+    dt = W_list[0].dtype
+    out = jnp.zeros((Dp, Dp, n_out), dtype=dt)
 
     def one(Wc, ic):
-        N = ic.shape[-1]
-        W4 = Wc.reshape(Dp, dl, -1, N)
-        Mg = jnp.take(Mflat, ic.reshape(-1), axis=1).reshape(dl, dl, -1, N)
-        tmp = (W4[:, :, None] * Mg[None]).sum(axis=1)    # [Dp, dl, k, N]
+        cb = ic.shape[-1]
+        W4 = Wc.reshape(Dp, dl, -1, cb)
+        Mg = jnp.take(Mflat, ic.reshape(-1), axis=1).reshape(dl, dl, -1, cb)
+        tmp = (W4[:, :, None] * Mg[None]).sum(axis=1)    # [Dp, dl, k, cb]
         return (tmp[:, None] * W4[None]).sum(axis=(2, 3))
 
-    if kind == "flat":
-        return one(W, gidx)
-
-    def body(acc, inp):
-        Wc, ic = inp
-        return acc + one(Wc, ic), None
-
-    init = jnp.zeros((Dp, Dp, W.shape[-1]), dtype=W.dtype)
-    out, _ = jax.lax.scan(body, init, (W, gidx))
+    for W, (rows, eidxT, _, nbT) in zip(W_list, buckets):
+        if eidxT.ndim == 2:
+            r = one(W, nbT)
+        else:
+            r = _bucket_scan(one, W, nbT, jnp.zeros(
+                (Dp, Dp, nbT.shape[-1]), dtype=dt))
+        out = out + r if rows is None else out.at[:, :, rows].set(r)
     return out
 
 
@@ -422,34 +467,32 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         # Jl_w[s, b, E] = sum_a Jl[a, s, E] w_omega[a, b, E]
         Jl_wT = (JlT[:, :, None] * w_omegaT[:, None]).sum(axis=0)
         Jc_wT = (JcT[:, :, None] * w_omegaT[:, None]).sum(axis=0)
-        lm_tbl = _pack_tables_k(pg.lm_edge_idx, pg.lm_mask)
-        cam_tbl = _pack_tables_k(pg.cam_edge_idx, pg.cam_mask)
         # Hll_e[s, t, E] = sum_b Jl_w[s, b, E] Jl[b, t, E]
         Hll_e = (Jl_wT[:, :, None] * JlT[None]).sum(axis=1)
         bl_e = -(Jl_wT * residT[None]).sum(axis=1)        # [dl, E]
         Hll = Hll + _reduce_k_lane(Hll_e.reshape(dl * dl, -1),
-                                   lm_tbl).reshape(dl, dl, L)
-        b_l = b_l + _reduce_k_lane(bl_e, lm_tbl)
+                                   pg.lm_buckets, L).reshape(dl, dl, L)
+        b_l = b_l + _reduce_k_lane(bl_e, pg.lm_buckets, L)
         W_T = (Jc_wT[:, :, None] * JlT[None]).sum(axis=1)  # [Dp, dl, E]
         Hcc_e = (Jc_wT[:, :, None] * JcT[None]).sum(axis=1)
         bp_e = -(Jc_wT * residT[None]).sum(axis=1)        # [Dp, E]
         cg = problem.static.vgroup(pg.cam_group)
+        C = cg.count
         slot = groups.setdefault(pg.cam_group, {
-            "Hcc": jnp.zeros((cg.tangent_dim, cg.tangent_dim, cg.count), dt),
-            "bT": jnp.zeros((cg.tangent_dim, cg.count), dt)})
+            "Hcc": jnp.zeros((cg.tangent_dim, cg.tangent_dim, C), dt),
+            "bT": jnp.zeros((cg.tangent_dim, C), dt)})
         slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
-            Hcc_e.reshape(Dp * Dp, -1), cam_tbl).reshape(Dp, Dp, cg.count)
-        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, cam_tbl)
-        # pre-gather W into BOTH k-major ELL layouts (one-time per
+            Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, C).reshape(
+            Dp, Dp, C)
+        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, pg.cam_buckets, C)
+        # pre-gather W into BOTH bucketed ELL layouts (one-time per
         # linearization) so PCG matvecs gather only from the small [D, N]
         # vector tables
         W_stream = W_T.reshape(Dp * dl, -1)
         proj_data.append({
             "pg": pg,
-            "W_lm": _gather_w_lane(W_stream, lm_tbl),
-            "W_cam": _gather_w_lane(W_stream, cam_tbl),
-            "lm_cam": _pack_gidx_k(pg.lm_cam, lm_tbl),
-            "cam_lm": _pack_gidx_k(pg.cam_lm, cam_tbl),
+            "W_lm": _gather_w_lane(W_stream, pg.lm_buckets),
+            "W_cam": _gather_w_lane(W_stream, pg.cam_buckets),
             "Dp": Dp})
 
     # pose-only edges -> small dense extra over the pose tangent block
@@ -489,7 +532,10 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         Tp <= _DENSE_SCHUR_MAX_TP
         and proj_data
         and all(pd["pg"].lm_cam_onehot is not None
-                and pd["W_lm"][0] == "flat" for pd in proj_data)
+                and len(pd["pg"].lm_buckets) == 1
+                and pd["pg"].lm_buckets[0][0] is None
+                and pd["pg"].lm_buckets[0][1].ndim == 2
+                for pd in proj_data)
         and Tp * dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
     B2 = None
     if dense_ok:
@@ -501,7 +547,7 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
                 pg = pd["pg"]
                 if pg.cam_group != g.name:
                     continue
-                W4 = pd["W_lm"][1].reshape(pd["Dp"], dl, -1, L)
+                W4 = pd["W_lm"][0].reshape(pd["Dp"], dl, -1, L)
                 bg = bg + jnp.einsum("ckl,stkl->cstl",
                                      pg.lm_cam_onehot, W4).reshape(
                     g.count * D, dl * L)
@@ -599,8 +645,10 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         b_red = dict(b_p)
         for pd in sys["proj"]:
             pg = pd["pg"]
+            Cc = problem.static.vgroup(pg.cam_group).count
             b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_w_lane(
-                pd["W_cam"], pd["cam_lm"], hib, pd["Dp"], dl, to_lm=False)
+                pd["W_cam"], pg.cam_buckets, hib, pd["Dp"], dl,
+                to_lm=False, n_out=Cc)
         b_red = {k: b_red[k] * free_p[k][None] for k in b_red}
 
         def s_matvec(xT):
@@ -616,21 +664,24 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             u = jnp.zeros((dl, L), dtype=dt)
             for pd in sys["proj"]:
                 pg = pd["pg"]
-                u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"],
+                u = u + _apply_w_lane(pd["W_lm"], pg.lm_buckets,
                                       xT[pg.cam_group], pd["Dp"], dl,
-                                      to_lm=True)
+                                      to_lm=True, n_out=L)
             v = _bmv_lane(Hinv, u)
             for pd in sys["proj"]:
                 pg = pd["pg"]
                 y[pg.cam_group] = y[pg.cam_group] - _apply_w_lane(
-                    pd["W_cam"], pd["cam_lm"], v, pd["Dp"], dl, to_lm=False)
+                    pd["W_cam"], pg.cam_buckets, v, pd["Dp"], dl,
+                    to_lm=False,
+                    n_out=problem.static.vgroup(pg.cam_group).count)
             return y
 
         s_blocks = dict(Hcc_d)
         for pd in sys["proj"]:
             pg = pd["pg"]
-            corr = _sandwich_lane(pd["W_cam"], pd["cam_lm"], Hinv,
-                                  pd["Dp"], dl)
+            corr = _sandwich_lane(
+                pd["W_cam"], pg.cam_buckets, Hinv, pd["Dp"], dl,
+                n_out=problem.static.vgroup(pg.cam_group).count)
             s_blocks[pg.cam_group] = s_blocks[pg.cam_group] - corr
         s_binv = {k: _inv_lane(v) for k, v in s_blocks.items()}
 
@@ -645,9 +696,9 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         u = jnp.zeros((dl, L), dtype=dt)
         for pd in sys["proj"]:
             pg = pd["pg"]
-            u = u + _apply_w_lane(pd["W_lm"], pd["lm_cam"],
+            u = u + _apply_w_lane(pd["W_lm"], pg.lm_buckets,
                                   dx_p[pg.cam_group], pd["Dp"], dl,
-                                  to_lm=True)
+                                  to_lm=True, n_out=L)
 
     # back-substitution: dx_l = Hll^-1 (b_l - W^T dx_p)
     dx_l = _bmv_lane(Hinv, b_l - u) * free_l[None]

@@ -63,42 +63,49 @@ class TestDualEll:
 
 
 class TestKChunking:
-    """The K-axis chunk-scan path (ba_ell._K_CHUNK) must be numerically
-    identical to the flat gather+einsum path — it exists purely to bound
-    XLA program size at BAL scale (see CLAUDE.md compile pathology)."""
+    """The bucketed/chunk-scanned table paths (ba_ell._bucketize with
+    _K_CHUNK / _BUCKET_MIN forced small) must match the flat single-bucket
+    path — they exist purely to bound gather padding waste and XLA program
+    size at BAL scale (see CLAUDE.md compile pathology + the 400k-obs
+    camera-degree skew)."""
 
-    def test_chunked_matches_flat(self, monkeypatch):
+    def test_bucketed_chunked_matches_flat(self, monkeypatch):
         import openslam_g2o_tpu.core.ba_ell as ba_ell
         from tests.test_ba import make_ba_scene
         from openslam_g2o_tpu.core.ba_ell import _lm_ba_ell_step
-        from openslam_g2o_tpu.core.problem import robust_chi2
         import jax.numpy as jnp
 
-        # 40 points x 8 cams fully observed -> K_c = 40 per camera; chunk=8
-        # forces 5 chunks on the camera axis while K_l=8 stays flat
+        # 40 points x 8 cams fully observed -> K_c = 40 per camera;
+        # _BUCKET_MIN=4 + _K_CHUNK=8 force multiple degree buckets AND the
+        # within-bucket chunk scan while K_l=8 stays flat
         g, _, _ = make_ba_scene(n_cams=8, n_points=40, pixel_noise=0.5)
         prob = g.compile()
         algo = LevenbergMarquardtSchurELL(pcg_iters=40)
         st = algo.init(prob)
         args = (st["params"], st["lam"], st["ni"], st["chi2"])
 
-        pat_flat = build_ba_ell_pattern(prob)
         # pin both runs to the implicit-PCG branch: this test asserts the
-        # chunk-scan is ARITHMETICALLY identical to the flat gather, which
-        # only holds within one solver (the flat case would otherwise route
-        # to the dense-Cholesky fast path)
+        # bucketed tables are arithmetically equivalent to the flat gather,
+        # which only holds within one solver (the flat case would otherwise
+        # route to the dense-Cholesky fast path)
         monkeypatch.setattr(ba_ell, "_DENSE_SCHUR_MAX_TP", -1)
+        pat_flat = build_ba_ell_pattern(prob)
+        assert all(len(pg.cam_buckets) == 1 for pg in pat_flat.proj)
         # the unjitted function — a jitted call would hit the jit cache and
         # silently reuse the flat trace despite the monkeypatch
         step = _lm_ba_ell_step.__wrapped__
         out_flat = step(prob, pat_flat, *args, pcg_iters=40)
 
         monkeypatch.setattr(ba_ell, "_K_CHUNK", 8)
-        out_ch = step(prob, pat_flat, *args, pcg_iters=40)
+        monkeypatch.setattr(ba_ell, "_BUCKET_MIN", 4)
+        pat_b = build_ba_ell_pattern(prob)
+        assert any(len(pg.cam_buckets) > 1
+                   or pg.cam_buckets[0][1].ndim == 3 for pg in pat_b.proj)
+        out_b = step(prob, pat_b, *args, pcg_iters=40)
 
-        np.testing.assert_allclose(float(out_ch[3]), float(out_flat[3]),
+        np.testing.assert_allclose(float(out_b[3]), float(out_flat[3]),
                                    rtol=1e-9)
         for k in out_flat[0]:
-            np.testing.assert_allclose(np.asarray(out_ch[0][k]),
+            np.testing.assert_allclose(np.asarray(out_b[0][k]),
                                        np.asarray(out_flat[0][k]),
                                        rtol=1e-7, atol=1e-9)
