@@ -57,7 +57,8 @@ __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lm_edge_idx", "lm_mask", "cam_edge_idx", "cam_mask",
                       "li", "ci", "lm_cam", "cam_lm", "lm_cam_onehot",
-                      "lm_buckets", "cam_buckets"],
+                      "lm_buckets", "cam_buckets", "lm_perm",
+                      "cam_perm"],
          meta_fields=["egkey", "lm_slot", "cam_slot", "cam_group", "lm_group"])
 @dataclasses.dataclass
 class ProjGroupPattern:
@@ -84,6 +85,8 @@ class ProjGroupPattern:
     lm_cam_onehot: jnp.ndarray  # [C, K_l, L] {0,1} or None — dense-Schur
     lm_buckets: tuple           # densify operand (see _DENSE_SCHUR gates)
     cam_buckets: tuple
+    lm_perm: jnp.ndarray        # [L]/[C] int32 owner -> concat position,
+    cam_perm: jnp.ndarray       # or None for a single all-owners bucket
     egkey: str
     lm_slot: int
     cam_slot: int
@@ -129,7 +132,14 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
 
     tbl/mask [N, K] edge-id ELL; nb_ids [N, K] the other-side vertex id of
     each slot. Single all-rows bucket when padding waste is <30% or K is
-    small; otherwise one bucket per power-of-two degree range."""
+    small; otherwise one bucket per power-of-two degree range.
+
+    Returns (buckets, perm): perm is None for the single all-rows bucket,
+    else an [N] int32 map from owner id to its position in the
+    CONCATENATED per-bucket output stream (with one trailing zero slot for
+    degree-0 owners) — bucket results are placed by ONE lane gather, never
+    a scatter (scatters are both slower and the least-proven TPU kernel on
+    this toolchain)."""
     N, K = tbl.shape
     counts = mask.sum(axis=1).astype(np.int64)
 
@@ -162,7 +172,7 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
 
     total = max(int(counts.sum()), 1)
     if K <= _BUCKET_MIN or N * K <= 1.3 * total:
-        return (pack(None, K),)
+        return (pack(None, K),), None
     bounds = [0]
     b = _BUCKET_MIN
     while b < K:
@@ -170,15 +180,20 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
         b *= 2
     bounds.append(K)
     out = []
+    perm = np.full(N, -1, dtype=np.int64)
+    off = 0
     for lo, hi in zip(bounds, bounds[1:]):
         rows = np.nonzero((counts > max(lo, 0)) & (counts <= hi)
                           & (counts > 0))[0]
         if len(rows) == 0:
             continue
+        perm[rows] = off + np.arange(len(rows))
+        off += len(rows)
         out.append(pack(rows, hi))
     if not out:
-        out.append(pack(None, K))
-    return tuple(out)
+        return (pack(None, K),), None
+    perm[perm < 0] = off          # degree-0 owners read the zero slot
+    return tuple(out), jnp.asarray(perm.astype(np.int32))
 
 
 # Dense-Schur routing gates: the reduced camera system is formed DENSELY
@@ -243,8 +258,9 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
             jnp.asarray(ci[lm_tbl].astype(np.int32)),
             jnp.asarray(li[cam_tbl].astype(np.int32)),
             onehot,
-            _bucketize(lm_tbl, lm_mask, ci[lm_tbl], dt),
-            _bucketize(cam_tbl, cam_mask, li[cam_tbl], dt),
+            *(lambda lb, cb: (lb[0], cb[0], lb[1], cb[1]))(
+                _bucketize(lm_tbl, lm_mask, ci[lm_tbl], dt),
+                _bucketize(cam_tbl, cam_mask, li[cam_tbl], dt)),
             eg.key, sl, sc, slot_groups[sc].name, lg.name))
     return BAEllPattern(tuple(proj), tuple(pose_only), lg.name)
 
@@ -343,24 +359,34 @@ def _bucket_scan(one, eidxT, maskT, init):
     return out
 
 
-def _reduce_k_lane(streamT, buckets, n_out):
+def _place(parts, perm, lead_shape, dtype):
+    """Place per-bucket results [*lead, C_b] into the owner order: a
+    concat + ONE lane gather through the host-built inverse permutation
+    (perm None = single all-owners bucket, direct). Never a scatter."""
+    if perm is None:
+        return parts[0]
+    cat = jnp.concatenate(
+        list(parts) + [jnp.zeros(tuple(lead_shape) + (1,), dtype)], axis=-1)
+    return jnp.take(cat, perm, axis=-1)
+
+
+def _reduce_k_lane(streamT, buckets, perm, n_out):
     """Owner-sum of a per-edge lane-major stream: [D, E] -> [D, n_out]."""
     D = streamT.shape[0]
-    out = jnp.zeros((D, n_out), dtype=streamT.dtype)
 
     def one(ic, mc):
         cb = ic.shape[-1]
         g = jnp.take(streamT, ic.reshape(-1), axis=1).reshape(D, -1, cb)
         return (g * mc[None]).sum(axis=1)
 
+    parts = []
     for rows, eidxT, maskT, _ in buckets:
         if eidxT.ndim == 2:
-            r = one(eidxT, maskT)
+            parts.append(one(eidxT, maskT))
         else:
-            r = _bucket_scan(one, eidxT, maskT, jnp.zeros(
-                (D, eidxT.shape[-1]), dtype=streamT.dtype))
-        out = out + r if rows is None else out.at[:, rows].set(r)
-    return out
+            parts.append(_bucket_scan(one, eidxT, maskT, jnp.zeros(
+                (D, eidxT.shape[-1]), dtype=streamT.dtype)))
+    return _place(parts, perm, (D,), streamT.dtype)
 
 
 def _gather_w_lane(streamT, buckets):
@@ -381,7 +407,8 @@ def _gather_w_lane(streamT, buckets):
     return out
 
 
-def _apply_w_lane(W_list, buckets, xT, Dp, dl, to_lm: bool, n_out: int):
+def _apply_w_lane(W_list, buckets, perm, xT, Dp, dl, to_lm: bool,
+                  n_out: int):
     """The Schur coupling products, owner on lanes, bucket by bucket.
 
     to_lm:  u[t, L] = sum_{k, s} W[s, t, k, L] * x[s, cam_of(k, L)]
@@ -392,7 +419,6 @@ def _apply_w_lane(W_list, buckets, xT, Dp, dl, to_lm: bool, n_out: int):
     Dx = Dp if to_lm else dl
     D_out = dl if to_lm else Dp
     dt = W_list[0].dtype
-    out = jnp.zeros((D_out, n_out), dtype=dt)
 
     def one(Wc, ic):
         cb = ic.shape[-1]
@@ -402,23 +428,22 @@ def _apply_w_lane(W_list, buckets, xT, Dp, dl, to_lm: bool, n_out: int):
             return (W4 * xg[:, None]).sum(axis=(0, 2))
         return (W4 * xg[None]).sum(axis=(1, 2))
 
+    parts = []
     for W, (rows, eidxT, _, nbT) in zip(W_list, buckets):
         if eidxT.ndim == 2:
-            r = one(W, nbT)
+            parts.append(one(W, nbT))
         else:
-            r = _bucket_scan(one, W, nbT, jnp.zeros(
-                (D_out, nbT.shape[-1]), dtype=dt))
-        out = out + r if rows is None else out.at[:, rows].set(r)
-    return out
+            parts.append(_bucket_scan(one, W, nbT, jnp.zeros(
+                (D_out, nbT.shape[-1]), dtype=dt)))
+    return _place(parts, perm, (D_out,), dt)
 
 
-def _sandwich_lane(W_list, buckets, M_lane, Dp, dl, n_out: int):
+def _sandwich_lane(W_list, buckets, perm, M_lane, Dp, dl, n_out: int):
     """corr[s, v, C] = sum_k (W_k M_{lm(k)} W_k^T)[s, v] — the block-Jacobi
     preconditioner correction on the reduced camera system, bucketed like
     _apply_w_lane. M_lane: [dl, dl, L]."""
     Mflat = M_lane.reshape(dl * dl, -1)
     dt = W_list[0].dtype
-    out = jnp.zeros((Dp, Dp, n_out), dtype=dt)
 
     def one(Wc, ic):
         cb = ic.shape[-1]
@@ -427,14 +452,14 @@ def _sandwich_lane(W_list, buckets, M_lane, Dp, dl, n_out: int):
         tmp = (W4[:, :, None] * Mg[None]).sum(axis=1)    # [Dp, dl, k, cb]
         return (tmp[:, None] * W4[None]).sum(axis=(2, 3))
 
+    parts = []
     for W, (rows, eidxT, _, nbT) in zip(W_list, buckets):
         if eidxT.ndim == 2:
-            r = one(W, nbT)
+            parts.append(one(W, nbT))
         else:
-            r = _bucket_scan(one, W, nbT, jnp.zeros(
-                (Dp, Dp, nbT.shape[-1]), dtype=dt))
-        out = out + r if rows is None else out.at[:, :, rows].set(r)
-    return out
+            parts.append(_bucket_scan(one, W, nbT, jnp.zeros(
+                (Dp, Dp, nbT.shape[-1]), dtype=dt)))
+    return _place(parts, perm, (Dp, Dp), dt)
 
 
 def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
@@ -471,8 +496,8 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         Hll_e = (Jl_wT[:, :, None] * JlT[None]).sum(axis=1)
         bl_e = -(Jl_wT * residT[None]).sum(axis=1)        # [dl, E]
         Hll = Hll + _reduce_k_lane(Hll_e.reshape(dl * dl, -1),
-                                   pg.lm_buckets, L).reshape(dl, dl, L)
-        b_l = b_l + _reduce_k_lane(bl_e, pg.lm_buckets, L)
+                                   pg.lm_buckets, pg.lm_perm, L).reshape(dl, dl, L)
+        b_l = b_l + _reduce_k_lane(bl_e, pg.lm_buckets, pg.lm_perm, L)
         W_T = (Jc_wT[:, :, None] * JlT[None]).sum(axis=1)  # [Dp, dl, E]
         Hcc_e = (Jc_wT[:, :, None] * JcT[None]).sum(axis=1)
         bp_e = -(Jc_wT * residT[None]).sum(axis=1)        # [Dp, E]
@@ -482,9 +507,9 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
             "Hcc": jnp.zeros((cg.tangent_dim, cg.tangent_dim, C), dt),
             "bT": jnp.zeros((cg.tangent_dim, C), dt)})
         slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
-            Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, C).reshape(
+            Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, pg.cam_perm, C).reshape(
             Dp, Dp, C)
-        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, pg.cam_buckets, C)
+        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, pg.cam_buckets, pg.cam_perm, C)
         # pre-gather W into BOTH bucketed ELL layouts (one-time per
         # linearization) so PCG matvecs gather only from the small [D, N]
         # vector tables
@@ -647,8 +672,8 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             pg = pd["pg"]
             Cc = problem.static.vgroup(pg.cam_group).count
             b_red[pg.cam_group] = b_red[pg.cam_group] - _apply_w_lane(
-                pd["W_cam"], pg.cam_buckets, hib, pd["Dp"], dl,
-                to_lm=False, n_out=Cc)
+                pd["W_cam"], pg.cam_buckets, pg.cam_perm, hib, pd["Dp"],
+                dl, to_lm=False, n_out=Cc)
         b_red = {k: b_red[k] * free_p[k][None] for k in b_red}
 
         def s_matvec(xT):
@@ -665,14 +690,14 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             for pd in sys["proj"]:
                 pg = pd["pg"]
                 u = u + _apply_w_lane(pd["W_lm"], pg.lm_buckets,
-                                      xT[pg.cam_group], pd["Dp"], dl,
-                                      to_lm=True, n_out=L)
+                                      pg.lm_perm, xT[pg.cam_group],
+                                      pd["Dp"], dl, to_lm=True, n_out=L)
             v = _bmv_lane(Hinv, u)
             for pd in sys["proj"]:
                 pg = pd["pg"]
                 y[pg.cam_group] = y[pg.cam_group] - _apply_w_lane(
-                    pd["W_cam"], pg.cam_buckets, v, pd["Dp"], dl,
-                    to_lm=False,
+                    pd["W_cam"], pg.cam_buckets, pg.cam_perm, v, pd["Dp"],
+                    dl, to_lm=False,
                     n_out=problem.static.vgroup(pg.cam_group).count)
             return y
 
@@ -680,8 +705,8 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         for pd in sys["proj"]:
             pg = pd["pg"]
             corr = _sandwich_lane(
-                pd["W_cam"], pg.cam_buckets, Hinv, pd["Dp"], dl,
-                n_out=problem.static.vgroup(pg.cam_group).count)
+                pd["W_cam"], pg.cam_buckets, pg.cam_perm, Hinv, pd["Dp"],
+                dl, n_out=problem.static.vgroup(pg.cam_group).count)
             s_blocks[pg.cam_group] = s_blocks[pg.cam_group] - corr
         s_binv = {k: _inv_lane(v) for k, v in s_blocks.items()}
 
@@ -696,7 +721,7 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         u = jnp.zeros((dl, L), dtype=dt)
         for pd in sys["proj"]:
             pg = pd["pg"]
-            u = u + _apply_w_lane(pd["W_lm"], pg.lm_buckets,
+            u = u + _apply_w_lane(pd["W_lm"], pg.lm_buckets, pg.lm_perm,
                                   dx_p[pg.cam_group], pd["Dp"], dl,
                                   to_lm=True, n_out=L)
 

@@ -73,10 +73,19 @@ def ell_pcg_iteration_cost(problem, pattern, itemsize: int = 4) -> PhaseCost:
         cg = problem.static.vgroup(cg_name)
         K = pattern.K[pid]
         Dr, Dc = rg.tangent_dim, cg.tangent_dim
-        flops += 2.0 * rg.count * K * Dr * Dc
-        bts += rg.count * K * (Dr * Dc * itemsize   # values
-                               + Dc * itemsize      # gathered x
-                               + 4)                 # nb_idx int32
+        # two-tier split: count the ACTUAL gathered/processed slots
+        # (base tier N*Kb + overflow tier N_hi*(K-Kb)), not the uniform
+        # max-degree padding (EllPattern tier_* docstring)
+        kb = pattern.tier_kb[pid]
+        rows = pattern.tier_rows[pid]
+        if rows is None:
+            slots = rg.count * K
+        else:
+            slots = rg.count * kb + rows.shape[0] * (K - kb)
+        flops += 2.0 * slots * Dr * Dc
+        bts += slots * (Dr * Dc * itemsize          # values
+                        + Dc * itemsize             # gathered x
+                        + 4)                        # nb_idx int32
         bts += rg.count * Dr * itemsize             # y write
     T = sum(g.count * g.tangent_dim for g in problem.static.vgroups)
     Dsum = sum(g.count * g.tangent_dim * g.tangent_dim
