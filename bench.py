@@ -254,7 +254,7 @@ def run_tpu_ba(n_cams, n_points, obs_per_point, pcg_iters, pcg_tol,
     import jax.numpy as jnp
     from openslam_g2o_tpu.apps.simulator import synthetic_bal_problem
     from openslam_g2o_tpu.core.ba_ell import (
-        LevenbergMarquardtSchurELL, _lm_ba_ell_step, build_ba_ell_pattern)
+        LevenbergMarquardtSchurELL, ba_ell_step, build_ba_ell_pattern)
     from openslam_g2o_tpu.utils.ate import ate_rmse
     from openslam_g2o_tpu.utils import roofline as RL
 
@@ -265,8 +265,8 @@ def run_tpu_ba(n_cams, n_points, obs_per_point, pcg_iters, pcg_tol,
     algo = LevenbergMarquardtSchurELL()
     state = algo.init(prob)
     st = (state["params"], state["lam"], state["ni"], state["chi2"])
-    ba_step = lambda *s: _lm_ba_ell_step(prob, pattern, *s,
-                                         pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+    ba_step = lambda *s: ba_ell_step(prob, pattern, *s,
+                                     pcg_iters=pcg_iters, pcg_tol=pcg_tol)
     out = ba_step(*st)
     jax.block_until_ready(out[0])
     st = out[:4]

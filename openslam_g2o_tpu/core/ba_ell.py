@@ -51,7 +51,7 @@ from openslam_g2o_tpu.core.problem import (
 from openslam_g2o_tpu.core.solvers import pcg_solve
 
 __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
-           "LevenbergMarquardtSchurELL"]
+           "ba_ell_step", "LevenbergMarquardtSchurELL"]
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -125,6 +125,17 @@ def _ell_tables(owner_idx: np.ndarray, n_owners: int):
 # extra program segments.
 _BUCKET_MIN = 64
 
+# Multi-bucket (sliced-ELL) tables are DISABLED by default on this
+# toolchain: the kernels are numerically verified on CPU (and forced-small
+# configurations in tests), and a manually-driven 400k-obs trial measured
+# 68.5 ms vs 308 ms single-table — but the SAME programs compiled for the
+# v5e through the remote Mosaic toolchain either abort the backend (inside
+# lax.while_loop) or silently return wrong matvec results (chi2 stalls at
+# 132-154M where the CPU run of identical code reaches 656k). Re-enable
+# after a toolchain bump and re-verify CPU-vs-TPU chi2 trajectories at the
+# 400k bench shape. See CLAUDE.md round-3 notes.
+_BUCKET_ENABLE = False
+
 
 def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
                dtype) -> tuple:
@@ -143,7 +154,7 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
     N, K = tbl.shape
     counts = mask.sum(axis=1).astype(np.int64)
 
-    def pack(rows, kb):
+    def pack(rows, kb, chunk_limit=None):
         if rows is None:
             st, sm, sn = tbl[:, :kb], mask[:, :kb], nb_ids[:, :kb]
         else:
@@ -153,7 +164,12 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
         eidxT = np.ascontiguousarray(st.T)
         maskT = np.ascontiguousarray(sm.T)
         nbT = np.ascontiguousarray(sn.T)
-        if kb > 2 * _K_CHUNK:
+        # bucketed tables avoid in-bucket scans up to 4*_K_CHUNK (flat
+        # K-major gathers compile fine well past the old blowup point);
+        # the single-table path keeps the proven 2*_K_CHUNK threshold
+        if chunk_limit is None:
+            chunk_limit = 4 * _K_CHUNK
+        if kb > chunk_limit:
             nch = -(-kb // _K_CHUNK)
             pad = nch * _K_CHUNK - kb
             if pad:
@@ -171,27 +187,41 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
                 jnp.asarray(nbT.astype(np.int32)))
 
     total = max(int(counts.sum()), 1)
-    if K <= _BUCKET_MIN or N * K <= 1.3 * total:
-        return (pack(None, K),), None
+    if (not _BUCKET_ENABLE or K <= _BUCKET_MIN
+            or N * K <= 1.3 * total):
+        return (pack(None, K, chunk_limit=2 * _K_CHUNK),), None
     bounds = [0]
     b = _BUCKET_MIN
     while b < K:
         bounds.append(b)
         b *= 2
     bounds.append(K)
-    out = []
-    perm = np.full(N, -1, dtype=np.int64)
-    off = 0
+    ranges = []
     for lo, hi in zip(bounds, bounds[1:]):
         rows = np.nonzero((counts > max(lo, 0)) & (counts <= hi)
                           & (counts > 0))[0]
-        if len(rows) == 0:
-            continue
+        if len(rows):
+            ranges.append([rows, hi])
+    # merge skinny buckets into the next degree range: sub-tile owner
+    # counts would create narrow-lane kernels for marginal savings
+    merged = []
+    for rows, hi in ranges:
+        if merged and len(merged[-1][0]) < 32:
+            merged[-1] = [np.concatenate([merged[-1][0], rows]), hi]
+        else:
+            merged.append([rows, hi])
+    if len(merged) >= 2 and len(merged[-1][0]) < 32:
+        last_rows, last_hi = merged.pop()
+        merged[-1] = [np.concatenate([merged[-1][0], last_rows]), last_hi]
+    if len(merged) <= 1:
+        return (pack(None, K, chunk_limit=2 * _K_CHUNK),), None
+    out = []
+    perm = np.full(N, -1, dtype=np.int64)
+    off = 0
+    for rows, hi in merged:
         perm[rows] = off + np.arange(len(rows))
         off += len(rows)
         out.append(pack(rows, hi))
-    if not out:
-        return (pack(None, K),), None
     perm[perm < 0] = off          # degree-0 owners read the zero slot
     return tuple(out), jnp.asarray(perm.astype(np.int32))
 
@@ -781,6 +811,83 @@ def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
     return best_params, lam, ni, best_chi, trials, accepted
 
 
+@partial(jax.jit, static_argnames=("pcg_iters", "pcg_tol"))
+def _ba_trial(prob: Problem, pattern: BAEllPattern, params: dict, lam,
+              chi_cur, pcg_iters: int = 100, pcg_tol: float = 1e-10):
+    """One LM TRIAL as its own device program: linearize + build + solve +
+    candidate chi2 + gain ratio (the _lm_ba_ell_step trial body, unrolled
+    for the host-driven loop below)."""
+    from openslam_g2o_tpu.core.problem import apply_update_parts
+    from openslam_g2o_tpu.core.solvers import _tree_dot
+
+    work = prob.with_params(params)
+    lin = linearize(work)
+    sys = _build(work, pattern, lin)
+    dxT, ok, bT = _solve(work, pattern, sys, lam, pcg_iters, pcg_tol=pcg_tol)
+    dx = {k: v.T for k, v in dxT.items()}
+    cand = apply_update_parts(work, dx)
+    chi_new = robust_chi2(work, cand)
+    chi_new = jnp.where(ok, chi_new, jnp.inf)
+    scale = _tree_dot(dxT, jax.tree_util.tree_map(
+        lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
+    rho = (chi_cur - chi_new) / scale
+    return cand, chi_new, rho
+
+
+def _lm_ba_ell_step_host(prob: Problem, pattern: BAEllPattern, params: dict,
+                         lam, ni, chi_cur, max_trials: int = 10,
+                         pcg_iters: int = 100, pcg_tol: float = 1e-10):
+    """_lm_ba_ell_step with the LM trial loop on the HOST (one jitted trial
+    program per attempt, one scalar sync each).
+
+    Why this exists: multi-bucket (sliced-ELL) solve programs run fine as
+    standalone jits but ABORT the TPU backend when nested inside
+    lax.while_loop at BAL scale (reproduced on v5e, jax 0.9 — see
+    CLAUDE.md). The host loop costs one rho readback per trial (~ms),
+    negligible against the tens-of-ms step it unblocks; semantics are
+    identical to the fused trial loop
+    (optimization_algorithm_levenberg.cpp:95-142)."""
+    import math
+
+    trials = 0
+    for _ in range(max_trials):
+        cand, chi_new, rho = _ba_trial(prob, pattern, params, lam, chi_cur,
+                                       pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+        trials += 1
+        rho_f = float(rho)
+        chi_f = float(chi_new)
+        if rho_f > 0 and math.isfinite(chi_f):
+            alpha = 1.0 - (2.0 * rho_f - 1.0) ** 3
+            good = min(max(alpha, 1.0 / 3.0), 2.0 / 3.0)
+            return (cand, lam * good, jnp.asarray(2.0, prob.dtype), chi_new,
+                    trials, True)
+        lam = lam * ni
+        ni = ni * 2.0
+    return params, lam, ni, chi_cur, trials, False
+
+
+def _wants_host_trials(pattern: BAEllPattern) -> bool:
+    """True when the pattern routes to multi-bucket tables — the
+    configuration whose while_loop-nested kernels abort the TPU backend."""
+    return any(len(pg.cam_buckets) > 1 or len(pg.lm_buckets) > 1
+               for pg in pattern.proj)
+
+
+def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
+                chi_cur, max_trials: int = 10, pcg_iters: int = 100,
+                pcg_tol: float = 1e-10):
+    """Dispatch one LM iteration: the fused while_loop step, or the
+    host-driven trial loop for multi-bucket patterns (see
+    _lm_ba_ell_step_host)."""
+    if _wants_host_trials(pattern):
+        return _lm_ba_ell_step_host(prob, pattern, params, lam, ni, chi_cur,
+                                    max_trials=max_trials,
+                                    pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+    return _lm_ba_ell_step(prob, pattern, params, lam, ni, chi_cur,
+                           max_trials=max_trials, pcg_iters=pcg_iters,
+                           pcg_tol=pcg_tol)
+
+
 class LevenbergMarquardtSchurELL:
     """LM + dual-ELL Schur: the production BA configuration on TPU."""
 
@@ -828,7 +935,7 @@ class LevenbergMarquardtSchurELL:
                 "chi2": robust_chi2(prob)}
 
     def step(self, prob: Problem, state: dict):
-        params, lam, ni, chi, trials, accepted = _lm_ba_ell_step(
+        params, lam, ni, chi, trials, accepted = ba_ell_step(
             prob, self.pattern(prob), state["params"], state["lam"],
             state["ni"], state["chi2"],
             max_trials=self.max_trials, pcg_iters=self.pcg_iters,
