@@ -638,7 +638,18 @@ def run_cpu_sphere_f64(n_iters=60):
             prob, LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-2),
             iterations=n_iters)
         name = next(iter(out.params))
-        return stats[-1]["chi2"], np.asarray(out.params[name])[:, :3]
+        # flatness probe for the sphere ATE (same methodology as
+        # Manhattan): smallest eigenvalue of the gauge-fixed Hessian at
+        # the f64 plateau
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        from openslam_g2o_tpu.core.problem import build_dense_system
+        H, _, _ = build_dense_system(out)
+        Hs = sp.csc_matrix(np.asarray(H))
+        lam_min = float(spla.eigsh(Hs, k=1, sigma=0, which="LM",
+                                   return_eigenvectors=False)[0])
+        return (stats[-1]["chi2"], np.asarray(out.params[name])[:, :3],
+                lam_min)
 
 
 def run_pcg_roofline():
@@ -819,7 +830,7 @@ def main():
     flat_bound = float(np.sqrt(2.0 * d_chi / lam_min)
                        / np.sqrt(ref_x.shape[0]))
     # sphere f64 reference LAST (flips jax x64 config)
-    sphere_chi_f64, sphere_t64 = run_cpu_sphere_f64()
+    sphere_chi_f64, sphere_t64, sphere_lam_min = run_cpu_sphere_f64()
     _progress(f"sphere f64 reference done: chi {sphere_chi_f64:.1f}")
     ate_sphere = float(ate_rmse(sphere_t32, sphere_t64))
     converged = tpu_chi < CONVERGED_CHI2 * CHI2_GATE
@@ -852,6 +863,15 @@ def main():
             "sphere_rmse_vs_f64": round(ate_sphere, 4),
             "sphere_tpu_f32_chi2": round(sphere_chi_f32, 1),
             "sphere_cpu_f64_chi2": round(float(sphere_chi_f64), 1),
+            "sphere_hessian_lambda_min": sphere_lam_min,
+            "sphere_chi2_flat_ate_bound": round(float(
+                np.sqrt(2.0 * max(sphere_chi_f32 - float(sphere_chi_f64),
+                                  1e-6) / sphere_lam_min)
+                / np.sqrt(sphere_t64.shape[0])), 3),
+            "sphere_within_flat_bound": bool(
+                ate_sphere <= float(np.sqrt(
+                    2.0 * max(sphere_chi_f32 - float(sphere_chi_f64), 1e-6)
+                    / sphere_lam_min) / np.sqrt(sphere_t64.shape[0]))),
         },
         "cpu_baseline_iters_per_sec": round(base_ips, 3),
         "cpu_baseline_converged_chi2": round(float(base_chi), 3),

@@ -168,6 +168,26 @@ def profile_iteration(problem: P.Problem, solver: str = "dense",
                                              repeats=repeats)
         stats["iteration_fused_net"] = max(
             stats["iteration_fused"] - stats["dispatch_floor"], 0.0)
+    if fused_fn is not None and solver == "pcg":
+        # the de-fused PCG solve necessarily runs a DIFFERENT pipeline than
+        # production (plain Jacobi-preconditioned CG on the unscaled system
+        # vs the folded-damping Jacobi-SCALED lane-major loop) and converges
+        # in more iterations for the same tolerance — reporting it as "the"
+        # solve time would overstate the phase by ~2x. Report it as
+        # *_defused and attribute the production solve by DIFFERENCING: the
+        # fused one-program step minus the independently measured phases.
+        stats["time_linear_solution_defused"] = stats.pop(
+            "time_linear_solution")
+        stats["time_linear_solution_defused_net"] = stats.pop(
+            "time_linear_solution_net")
+        chi2_net = max(stats["time_chi2"] - stats["dispatch_floor"], 0.0)
+        others = sum(stats[k + "_net"] for k in (
+            "time_residuals", "time_linearize", "time_quadratic_form",
+            "time_update"))
+        stats["time_linear_solution_net"] = max(
+            stats["iteration_fused_net"] - others - chi2_net, 0.0)
+        stats["iteration_total"] = (others + chi2_net
+                                    + stats["time_linear_solution_net"])
     return stats
 
 
