@@ -136,6 +136,15 @@ _BUCKET_MIN = 64
 # 400k bench shape. See CLAUDE.md round-3 notes.
 _BUCKET_ENABLE = False
 
+# Buckets with fewer owner rows than this merge into the next degree range
+# (sub-tile owner counts would create narrow-lane kernels for marginal
+# savings).
+_BUCKET_MIN_ROWS = 32
+
+# Single-table short-circuit: bucketing only pays when the uniform table's
+# padded slots exceed this fraction of the real work.
+_BUCKET_WASTE = 1.3
+
 
 def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
                dtype) -> tuple:
@@ -188,7 +197,7 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
 
     total = max(int(counts.sum()), 1)
     if (not _BUCKET_ENABLE or K <= _BUCKET_MIN
-            or N * K <= 1.3 * total):
+            or N * K <= _BUCKET_WASTE * total):
         return (pack(None, K, chunk_limit=2 * _K_CHUNK),), None
     bounds = [0]
     b = _BUCKET_MIN
@@ -206,11 +215,11 @@ def _bucketize(tbl: np.ndarray, mask: np.ndarray, nb_ids: np.ndarray,
     # counts would create narrow-lane kernels for marginal savings
     merged = []
     for rows, hi in ranges:
-        if merged and len(merged[-1][0]) < 32:
+        if merged and len(merged[-1][0]) < _BUCKET_MIN_ROWS:
             merged[-1] = [np.concatenate([merged[-1][0], rows]), hi]
         else:
             merged.append([rows, hi])
-    if len(merged) >= 2 and len(merged[-1][0]) < 32:
+    if len(merged) >= 2 and len(merged[-1][0]) < _BUCKET_MIN_ROWS:
         last_rows, last_hi = merged.pop()
         merged[-1] = [np.concatenate([merged[-1][0], last_rows]), last_hi]
     if len(merged) <= 1:

@@ -62,6 +62,51 @@ class TestDualEll:
             build_ba_ell_pattern(g.compile())
 
 
+class TestHostTrialDispatch:
+    """Multi-bucket patterns route through the host-driven trial loop
+    (ba_ell_step -> _lm_ba_ell_step_host — the lax.while_loop workaround,
+    see ba_ell._BUCKET_ENABLE) and must reproduce the fused step's LM
+    semantics: same accepted chi2 trajectory."""
+
+    def test_host_loop_matches_fused_step(self, monkeypatch):
+        import openslam_g2o_tpu.core.ba_ell as ba_ell
+        from tests.test_ba import make_ba_scene
+        from openslam_g2o_tpu.core.ba_ell import (
+            ba_ell_step, _lm_ba_ell_step, _wants_host_trials)
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_bal_problem
+        # nearest-camera visibility gives a skewed camera-degree histogram
+        prob, _ = synthetic_bal_problem(n_cams=24, n_points=400,
+                                        obs_per_point=3, dtype=jnp.float64)
+        algo = LevenbergMarquardtSchurELL(pcg_iters=60)
+        st = algo.init(prob)
+        args = (st["params"], st["lam"], st["ni"], st["chi2"])
+
+        monkeypatch.setattr(ba_ell, "_DENSE_SCHUR_MAX_TP", -1)
+        pat_single = build_ba_ell_pattern(prob)
+        assert not _wants_host_trials(pat_single)
+
+        monkeypatch.setattr(ba_ell, "_BUCKET_ENABLE", True)
+        monkeypatch.setattr(ba_ell, "_BUCKET_MIN", 4)
+        monkeypatch.setattr(ba_ell, "_BUCKET_MIN_ROWS", 2)
+        monkeypatch.setattr(ba_ell, "_BUCKET_WASTE", 1.0)
+        pat_multi = build_ba_ell_pattern(prob)
+        assert _wants_host_trials(pat_multi)
+
+        traj_fused, traj_host = [], []
+        sf = args
+        sh = args
+        for _ in range(4):
+            out = _lm_ba_ell_step.__wrapped__(prob, pat_single, *sf,
+                                              pcg_iters=60)
+            sf = out[:4]
+            traj_fused.append(float(out[3]))
+            out = ba_ell_step(prob, pat_multi, *sh, pcg_iters=60)
+            sh = out[:4]
+            traj_host.append(float(out[3]))
+        np.testing.assert_allclose(traj_host, traj_fused, rtol=1e-5)
+
+
 class TestKChunking:
     """The bucketed/chunk-scanned table paths (ba_ell._bucketize with
     _K_CHUNK / _BUCKET_MIN forced small) must match the flat single-bucket
