@@ -308,8 +308,12 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
               for g in prob.static.vgroups}
     init = (jnp.int32(0), jnp.array(False), jnp.array(-1.0, prob.dtype),
             lam, ni, params, chi_cur, zerosT)
+    # peel the FIRST trial out of the while_loop (the loop wrapper alone
+    # costs measurable runtime on this toolchain — see the ba_ell step's
+    # 6.5 ms finding); the loop body then only runs on lambda retries
+    first = trial_body(init)
     (trials, accepted, rho, lam, ni, best_params, best_chi,
-     best_dxT) = jax.lax.while_loop(trial_cond, trial_body, init)
+     best_dxT) = jax.lax.while_loop(trial_cond, trial_body, first)
     return best_params, lam, ni, best_chi, trials, accepted, best_dxT
 
 

@@ -83,9 +83,17 @@ class TestProfiler:
             s = profile_iteration(prob, solver, repeats=1)
             assert s["chi2"] > 0
             for key in ("time_residuals", "time_linearize",
-                        "time_quadratic_form", "time_linear_solution",
-                        "time_update"):
+                        "time_quadratic_form", "time_update"):
                 assert s[key] >= 0
+            # pcg reports the production solve by differencing plus the
+            # de-fused reference; dense reports it directly
+            if solver == "pcg":
+                assert s["time_linear_solution_net"] >= 0
+                assert s["time_linear_solution_defused"] >= 0
+            else:
+                assert s["time_linear_solution"] >= 0
+            assert s["dispatch_floor"] >= 0
+            assert s["iteration_fused"] > 0
             assert s["hessian_dims"] == 30
 
     def test_schur_phases(self):
