@@ -774,10 +774,12 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
     return dxT, ok, bT
 
 
-@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol",
+                                   "peel"))
 def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
                     lam, ni, chi_cur, max_trials: int = 10,
-                    pcg_iters: int = 100, pcg_tol: float = 1e-10):
+                    pcg_iters: int = 100, pcg_tol: float = 1e-10,
+                    peel: bool = True):
     """One LM iteration on the dual-ELL Schur solver (same trial semantics
     as the reference LM, optimization_algorithm_levenberg.cpp:95-142)."""
     from openslam_g2o_tpu.core.problem import apply_update_parts
@@ -819,8 +821,12 @@ def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
     # loop wrapper alone adds ~6.5 ms to the 80k-obs step (trial body
     # 5.6 ms vs 12.1 ms while-wrapped, scan-differenced on a v5e) — with
     # the common accepted-first-try case outside, the loop body only
-    # executes on lambda retries
-    first = trial_body(init)
+    # executes on lambda retries. peel=False for chunk-scanned patterns:
+    # duplicating the chunked trial body in+around the loop silently
+    # miscompiles at the 400k-obs shape (chi2 returned unchanged — caught
+    # by the bench noise-floor gate); the unpeeled loop is the
+    # configuration verified correct on-chip there.
+    first = trial_body(init) if peel else init
     trials, accepted, rho, lam, ni, best_params, best_chi = jax.lax.while_loop(
         trial_cond, trial_body, first)
     return best_params, lam, ni, best_chi, trials, accepted
@@ -883,9 +889,19 @@ def _lm_ba_ell_step_host(prob: Problem, pattern: BAEllPattern, params: dict,
 
 def _wants_host_trials(pattern: BAEllPattern) -> bool:
     """True when the pattern routes to multi-bucket tables — the
-    configuration whose while_loop-nested kernels abort the TPU backend."""
+    configuration whose while_loop-nested kernels abort the TPU backend
+    (see _BUCKET_ENABLE). NOTE chunk-scanned single-table patterns stay on
+    the fused while step (unpeeled): at the 400k-obs shape the standalone
+    per-trial program ALSO miscompiles on this toolchain (chi2 frozen at
+    the initial value, reproduced on a fresh backend), so the unpeeled
+    while loop is the only verified-correct configuration there."""
     return any(len(pg.cam_buckets) > 1 or len(pg.lm_buckets) > 1
                for pg in pattern.proj)
+
+
+def _has_chunked(pattern: BAEllPattern) -> bool:
+    return any(b[1].ndim == 3 for pg in pattern.proj
+               for b in pg.cam_buckets + pg.lm_buckets)
 
 
 def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
@@ -900,7 +916,7 @@ def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
                                     pcg_iters=pcg_iters, pcg_tol=pcg_tol)
     return _lm_ba_ell_step(prob, pattern, params, lam, ni, chi_cur,
                            max_trials=max_trials, pcg_iters=pcg_iters,
-                           pcg_tol=pcg_tol)
+                           pcg_tol=pcg_tol, peel=not _has_chunked(pattern))
 
 
 class LevenbergMarquardtSchurELL:
