@@ -161,11 +161,16 @@ def main(argv=None):
 
     if args.incremental:
         # replay the graph through the online optimizer, solving every
-        # -update vertices (the batch path of g2o.cpp:350-532)
+        # -update vertices (the batch path of g2o.cpp:350-532), on the
+        # ELL-PCG fast path (padding-masked patterns + fused per-solve
+        # programs — core/online.py solve() docstring)
         from openslam_g2o_tpu.core.online import OnlineOptimizer
+        from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
         args.update = max(1, args.update)
         t_inc = time.monotonic()
-        oo = OnlineOptimizer(dtype=jnp.float32 if args.f32 else jnp.float64)
+        oo = OnlineOptimizer(
+            algorithm=LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-2),
+            dtype=jnp.float32 if args.f32 else jnp.float64)
         n_since = 0
         order = list(graph.vertices.values())
         vrank = {vid: i for i, vid in enumerate(graph.vertices)}
