@@ -204,7 +204,11 @@ def main(argv=None):
     p.add_argument("-iterations", type=int, default=3,
                    help="iterations per solve")
     args = p.parse_args(argv)
+    # the protocol server runs on the ELL-PCG fast path (padding-masked
+    # patterns, one fused device program per solve — core/online.py)
+    from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
     iface = SlamInterface(OnlineOptimizer(
+        algorithm=LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-2),
         iterations_per_solve=args.iterations))
     for line in sys.stdin:
         iface.handle_line(line)
