@@ -208,6 +208,32 @@ def _edge_xyz2uvu_error(vparams, meas, pdata):
     return meas - jnp.stack([uv[0], uv[1], u_right])
 
 
+def _edge_xyz2uvu_jacobian(vparams, meas, pdata):
+    """Analytic linearizeOplus of the stereo EdgeProjectXYZ2UVU: rows 1-2
+    as _edge_xyz2uv_jacobian, third row u_right = (x - b)/z * f + cx with
+    d u_right/d pc = f * [1/z, 0, -(x - b)/z^2]. Equivalence vs jacfwd is
+    covered by the registry-wide sweep (tests/test_jacobians.py)."""
+    point, t = vparams
+    (cam,) = pdata
+    f, b = cam[0], cam[3]
+    pc = lie.se3_apply(t, point)
+    x, y, z = pc[0], pc[1], pc[2]
+    iz = 1.0 / z
+    fiz = f * iz
+    zero = jnp.zeros_like(z)
+    de_dpc = -jnp.stack([
+        jnp.stack([fiz, zero, -fiz * x * iz]),
+        jnp.stack([zero, fiz, -fiz * y * iz]),
+        jnp.stack([fiz, zero, -fiz * (x - b) * iz])])   # [3, 3]
+    R = jnp.stack([lie.quat_rotate(t[3:7], e) for e in (
+        jnp.array([1.0, 0, 0], dtype=point.dtype),
+        jnp.array([0, 1.0, 0], dtype=point.dtype),
+        jnp.array([0, 0, 1.0], dtype=point.dtype))], axis=1)
+    Jp = de_dpc @ R
+    Jc_omega = -de_dpc @ lie.skew(pc)
+    return (Jp, jnp.concatenate([Jc_omega, de_dpc], axis=1))
+
+
 EDGE_PROJECT_XYZ2UVU = register_edge_type(EdgeType(
     name="edge_project_xyz2uvu",
     tag="EDGE_PROJECT_XYZ2UVU:EXPMAP",
@@ -215,6 +241,7 @@ EDGE_PROJECT_XYZ2UVU = register_edge_type(EdgeType(
     error_dim=3,
     measurement_dim=3,
     error=_edge_xyz2uvu_error,
+    jacobian=_edge_xyz2uvu_jacobian,
     param_types=("camera_parameters",),
 ))
 

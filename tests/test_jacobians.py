@@ -60,6 +60,35 @@ class TestJacobianSweep:
         g, _, _ = make_ba_scene(n_cams=4, n_points=10, pixel_noise=0.5)
         _check(g)
 
+    def test_sba_stereo_analytic(self):
+        """edge_project_xyz2uvu's analytic jacobian (the stereo fast path)
+        against numeric differences."""
+        from tests.test_ba import make_ba_scene
+        import numpy as np
+        g, pts, cams = make_ba_scene(n_cams=3, n_points=8, pixel_noise=0.3)
+        # rebuild as a stereo graph: same geometry, uvu observations
+        from openslam_g2o_tpu.core.graph import Graph
+        from openslam_g2o_tpu.utils import np_lie
+        g2 = Graph()
+        g2.add_parameter(0, "camera_parameters", [500.0, 320.0, 240.0, 0.1])
+        for i, c in enumerate(cams):
+            g2.add_vertex(i, "se3_expmap", c, fixed=(i == 0))
+        for j, p in enumerate(pts):
+            g2.add_vertex(100 + j, "sba_point_xyz", p)
+        rng = np.random.default_rng(7)
+        for i, c in enumerate(cams):
+            for j, p in enumerate(pts):
+                pc = np_lie.se3_apply(c, p)
+                if pc[2] <= 0.1:
+                    continue
+                u = pc[0] / pc[2] * 500.0 + 320.0
+                v = pc[1] / pc[2] * 500.0 + 240.0
+                ur = (pc[0] - 0.1) / pc[2] * 500.0 + 320.0
+                g2.add_edge("edge_project_xyz2uvu", (100 + j, i),
+                            [u, v, ur] + rng.normal(0, 0.3, 3),
+                            np.eye(3), param_ids=[0])
+        _check(g2)
+
     def test_sim3(self):
         # reuse the sim3 pose-graph construction from the type tests
         from tests.test_types_extra import TestSim3
