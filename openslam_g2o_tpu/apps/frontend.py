@@ -291,7 +291,10 @@ def frontend_slam_demo(n_frames: int = 24, seed: int = 3, max_kp: int = 96,
                                               center=center)
         return rel, n_in
 
-    oo = OnlineOptimizer(iterations_per_solve=3, dtype=jnp.float32)
+    from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
+    oo = OnlineOptimizer(
+        algorithm=LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-2),
+        iterations_per_solve=3, dtype=jnp.float32)
     oo.add_vertex(0, "se2", np.zeros(3))
     oo.fix(0)
     dead = [np.zeros(3)]
