@@ -489,14 +489,14 @@ def run_cpu_ba_baseline(n_cams, n_points, obs_per_point, n_iters=3,
 def run_marginals_80k():
     """Schur-path marginal covariances ON the 80k-observation BA problem,
     on-chip: wall time + a spot-check of camera/landmark diagonal blocks
-    against an independently-assembled dense reduced system (the one-hot
-    densify route of core/ba_ell, a different assembly than the tiled
-    K x K-pair route marginals uses — catches at-scale tiling/assembly bugs;
-    the Schur identity itself is verified against dense H^-1 in
+    against an INDEPENDENT host-side numpy assembly (flat W gather +
+    np.add.at scatter into a dense S + numpy inverse — a completely
+    different assembly than the B2-matmul route compute_marginals_schur
+    now runs, so it catches at-scale densify/assembly bugs; the Schur
+    identity itself is verified against dense H^-1 in
     tests/test_marginals_schur.py)."""
     import jax
     import jax.numpy as jnp
-    from jax.scipy.linalg import solve_triangular
     from openslam_g2o_tpu.apps.simulator import synthetic_bal_problem
     from openslam_g2o_tpu.core import ba_ell as BE
     from openslam_g2o_tpu.core.marginals import compute_marginals_schur
@@ -525,35 +525,47 @@ def run_marginals_80k():
     jax.block_until_ready(cov)
     seconds = time.monotonic() - t0
 
-    # independent dense-S route (B2 densify): S = Hcc - B2 Hinv B2^T
+    # independent HOST route: numpy scatter assembly of S from the flat
+    # per-landmark W tables, numpy Cholesky-free inverse
     dt = prob.dtype
     lg = prob.static.vgroup(pattern.lm_name)
     dl, L = lg.tangent_dim, lg.count
     Tp = prob.static.pose_dim
     cg = [g for g in prob.static.vgroups if g.offset < Tp][0]
+    Dp = cg.tangent_dim
 
     def build_parts(p):
         s = BE._build(p, pattern, linearize(p))
-        return s["Hll"], s["B2"], s["groups"][cg.name]["Hcc"]
+        return s["Hll"], s["groups"][cg.name]["Hcc"]
 
-    Hll, B2, Hcc = jax.jit(build_parts)(prob)
-    free_l = prob.free[lg.name]
-    Hll_d = Hll + BE._eye_lane(dl, dt) * (1.0 - free_l)[None, None]
-    Hinv = BE._inv_lane(Hll_d)
-    HB2 = jnp.einsum("utl,ctl->cul", Hinv, B2.reshape(Tp, dl, L)).reshape(
-        Tp, dl * L)
-    S = -(B2 @ HB2.T)
-    Dp = cg.tangent_dim
-    f = prob.free[cg.name][None, None]
-    Hcc_d = Hcc * f + (1.0 - f) * BE._eye_lane(Dp, dt)
-    gidx = (jnp.arange(cg.count)[:, None] * Dp + jnp.arange(Dp)[None, :])
-    S = S.at[gidx[:, :, None], gidx[:, None, :]].add(
-        jnp.moveaxis(Hcc_d, -1, 0))
-    Lc = jnp.linalg.cholesky(S)
-    Sinv = solve_triangular(
-        Lc.T, solve_triangular(Lc, jnp.eye(Tp, dtype=dt), lower=True),
-        lower=False)
-    cam_ref = np.asarray(Sinv)[:, :].reshape(cg.count, Dp, cg.count, Dp)
+    Hll, Hcc = jax.jit(build_parts)(prob)
+    lin = jax.jit(linearize)(prob)
+    pg = pattern.proj[0]
+    from openslam_g2o_tpu.core.marginals import _gather_w_flat
+    W_lm = np.asarray(_gather_w_flat(prob, lin, pg),
+                      dtype=np.float64)                 # [L, K, Dp, dl]
+    free_l = np.asarray(prob.free[lg.name], dtype=np.float64)
+    Hll_np = np.moveaxis(np.asarray(Hll, dtype=np.float64), -1, 0)
+    Hll_np += (1.0 - free_l)[:, None, None] * np.eye(dl)
+    Hinv_np = np.linalg.inv(Hll_np)                     # [L, dl, dl]
+    f = np.asarray(prob.free[cg.name], dtype=np.float64)
+    Hcc_np = np.moveaxis(np.asarray(Hcc, dtype=np.float64), -1, 0)
+    Hcc_np = Hcc_np * f[:, None, None] \
+        + (1.0 - f)[:, None, None] * np.eye(Dp)
+    S_np = np.zeros((Tp, Tp))
+    gidx = np.arange(cg.count)[:, None] * Dp + np.arange(Dp)[None, :]
+    S_np[gidx[:, :, None], gidx[:, None, :]] += Hcc_np
+    lm_cam = np.asarray(pg.lm_cam)                      # [L, K]
+    pairs = np.einsum("lkst,ltu,lmvu->lkmsv", W_lm, Hinv_np, W_lm)
+    rows = (lm_cam[:, :, None] * Dp)[..., None, None] \
+        + np.arange(Dp)[None, None, None, :, None]
+    cols = (lm_cam[:, None, :] * Dp)[..., None, None] \
+        + np.arange(Dp)[None, None, None, None, :]
+    np.add.at(S_np, (np.broadcast_to(rows, pairs.shape).ravel(),
+                     np.broadcast_to(cols, pairs.shape).ravel()),
+              -pairs.ravel())
+    Sinv = np.linalg.inv(S_np)
+    cam_ref = Sinv.reshape(cg.count, Dp, cg.count, Dp)
     cam_err = 0.0
     for c in np.linspace(2, cg.count - 1, 5).astype(int):  # 0, 1 fixed
         got = np.asarray(cov[cg.name][c])
@@ -561,15 +573,10 @@ def run_marginals_80k():
         cam_err = max(cam_err, float(np.abs(got - want).max()
                                      / max(np.abs(want).max(), 1e-12)))
     # landmark blocks: host-side evaluation of the back-substitution
-    # identity with the dense Sinv (checks the tiled K x K correction
-    # assembly in compute_marginals_schur at scale)
-    from openslam_g2o_tpu.core.marginals import _gather_w_flat
-    lin = jax.jit(linearize)(prob)
-    pg = pattern.proj[0]
-    W_lm = np.asarray(_gather_w_flat(prob, lin, pg))     # [L, K, Dp, dl]
-    Hinv_row = np.moveaxis(np.asarray(Hinv), -1, 0)      # [L, dl, dl]
-    lm_cam = np.asarray(pg.lm_cam)
-    Sinv_np = np.asarray(Sinv)
+    # identity with the independently-assembled Sinv (checks the B2
+    # densify + matmul correction in compute_marginals_schur at scale)
+    Hinv_row = Hinv_np                                   # [L, dl, dl]
+    Sinv_np = Sinv
     lm_err = 0.0
     for j in np.linspace(3, L - 1, 5).astype(int):
         cams = lm_cam[j]
@@ -746,6 +753,14 @@ def run_incremental():
         return oo, n_solves, time.monotonic() - t0
 
     oo, n_solves, cold = replay()
+    # fresh-session simulation: drop every in-process compiled executable,
+    # keep the persistent on-disk cache the cold pass just wrote — the
+    # compile requests of this pass go through the full backend-compile
+    # path and hit the disk cache (what a NEW process on this machine
+    # pays; round-4 cold-start fix, utils/compile_cache.py)
+    import jax
+    jax.clear_caches()
+    _, _, cold_cached = replay()
     _, _, warm = replay()
     stats = oo.session_stats()
     from openslam_g2o_tpu.core import problem as P
@@ -757,6 +772,7 @@ def run_incremental():
         "final_chi2": round(final_chi, 2),
         "shape_buckets_compiled": stats["shape_buckets_compiled"],
         "cold_seconds_incl_compile": round(cold, 2),
+        "cold_seconds_with_persistent_cache": round(cold_cached, 2),
         "warm_seconds": round(warm, 2),
     }
 
@@ -826,15 +842,17 @@ def main():
     import scipy.sparse.linalg as spla
     lam_min = float(spla.eigsh(H_min.tocsc(), k=1, sigma=0, which="LM",
                                return_eigenvectors=False)[0])
+    # with chi2 = e^T Omega e and H = J^T Omega J the quadratic model is
+    # delta_chi2 ~ d^T H d, so |d| <= sqrt(delta_chi2 / lam_min) (no factor
+    # 2: grad^2(chi2) = 2H but delta_chi2 = (1/2) d^T (2H) d)
     d_chi = max(tpu_chi - float(base_chi), 1e-6)
-    flat_bound = float(np.sqrt(2.0 * d_chi / lam_min)
-                       / np.sqrt(ref_x.shape[0]))
+    flat_bound = float(np.sqrt(d_chi / lam_min) / np.sqrt(ref_x.shape[0]))
     # sphere f64 reference LAST (flips jax x64 config)
     sphere_chi_f64, sphere_t64, sphere_lam_min = run_cpu_sphere_f64()
     _progress(f"sphere f64 reference done: chi {sphere_chi_f64:.1f}")
     ate_sphere = float(ate_rmse(sphere_t32, sphere_t64))
     converged = tpu_chi < CONVERGED_CHI2 * CHI2_GATE
-    print(json.dumps({
+    report = {
         "metric": "manhattan3500_lm_iters_per_sec",
         "value": round(tpu_ips, 3),
         "unit": "iter/s",
@@ -865,12 +883,12 @@ def main():
             "sphere_cpu_f64_chi2": round(float(sphere_chi_f64), 1),
             "sphere_hessian_lambda_min": sphere_lam_min,
             "sphere_chi2_flat_ate_bound": round(float(
-                np.sqrt(2.0 * max(sphere_chi_f32 - float(sphere_chi_f64),
-                                  1e-6) / sphere_lam_min)
+                np.sqrt(max(sphere_chi_f32 - float(sphere_chi_f64),
+                            1e-6) / sphere_lam_min)
                 / np.sqrt(sphere_t64.shape[0])), 3),
             "sphere_within_flat_bound": bool(
                 ate_sphere <= float(np.sqrt(
-                    2.0 * max(sphere_chi_f32 - float(sphere_chi_f64), 1e-6)
+                    max(sphere_chi_f32 - float(sphere_chi_f64), 1e-6)
                     / sphere_lam_min) / np.sqrt(sphere_t64.shape[0]))),
         },
         "cpu_baseline_iters_per_sec": round(base_ips, 3),
@@ -895,6 +913,35 @@ def main():
                     "on-chip; spot-checked against an independently "
                     "assembled dense reduced system (one-hot densify route)",
         },
+    }
+    print(json.dumps(report))
+    # compact headline LAST: the driver's artifact keeps only the output
+    # tail, which truncated the round-3 flagship numbers out of BENCH_r03 —
+    # this line always carries them (and is itself a valid one-line JSON
+    # with the required metric/value/unit/vs_baseline fields)
+    print(json.dumps({
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": report["unit"],
+        "vs_baseline": report["vs_baseline"],
+        "manhattan_chi2": report["tpu_final_chi2"],
+        "manhattan_converged": report["converged_to_reference_chi2"],
+        "ate_within_flat_bound": report["ate"]["within_flat_bound"],
+        "ba_80k_iters_per_sec": report["ba_80k"]["iters_per_sec"],
+        "ba_80k_vs_baseline": report["ba_80k"]["vs_baseline"],
+        "ba_80k_gate": report["ba_80k"]["converged_to_noise_floor"],
+        "ba_400k_iters_per_sec":
+            report["ba_400k_venice_scale"]["iters_per_sec"],
+        "ba_400k_gate":
+            report["ba_400k_venice_scale"]["converged_to_noise_floor"],
+        "incremental_vps": report["incremental"]["vertices_per_sec"],
+        "incremental_cold_s":
+            report["incremental"]["cold_seconds_incl_compile"],
+        "incremental_cold_cached_s":
+            report["incremental"]["cold_seconds_with_persistent_cache"],
+        "marginals_80k_s": report["marginals_80k"]["seconds"],
+        "summary": "headline-last compact line; full report is the "
+                   "previous JSON line",
     }))
 
 

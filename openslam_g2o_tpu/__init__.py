@@ -20,6 +20,6 @@ from openslam_g2o_tpu.models import (  # noqa: F401
     slam2d, slam3d, sba, sim3, sclam2d, icp, data, bal, deprecated, target)
 
 from openslam_g2o_tpu.core.algorithms import (  # noqa: F401
-    Dogleg, GaussNewton, LevenbergMarquardt, LevenbergMarquardtPCG,
-    TerminateCriterion, optimize)
+    Dogleg, DoglegPCG, GaussNewton, LevenbergMarquardt,
+    LevenbergMarquardtPCG, TerminateCriterion, optimize)
 from openslam_g2o_tpu.io.g2o_format import load_g2o, loads_g2o, save_g2o  # noqa: F401

@@ -55,6 +55,14 @@ def build_parser():
     p.add_argument("-summary", default="",
                    help="append a summary of this optimization run to the summary file")
     p.add_argument("-gaugeId", type=int, default=-1, help="force the gauge")
+    p.add_argument("-gaugeList", default="",
+                   help="set the list of gauges separated by commas without "
+                        "spaces, e.g: 1,2,3,4,5")
+    p.add_argument("-computeMarginals", action="store_true",
+                   help="computes the marginal covariances of something. "
+                        "FOR TESTING ONLY")
+    p.add_argument("-printSolverProperties", action="store_true",
+                   help="print the properties of the solver")
     p.add_argument("-marginalize", action="store_true",
                    help="use the Schur complement to marginalize landmarks")
     p.add_argument("-gainThreshold", type=float, default=1e-6,
@@ -106,6 +114,8 @@ def main(argv=None):
     import jax.numpy as jnp
     if not args.f32:
         jax.config.update("jax_enable_x64", True)
+    from openslam_g2o_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from openslam_g2o_tpu.core import problem as P
     from openslam_g2o_tpu.core.algorithms import optimize, TerminateCriterion
@@ -139,7 +149,24 @@ def main(argv=None):
         return 1
 
     # gauge handling (g2o.cpp:272-304)
-    if args.gaugeId >= 0:
+    if args.gaugeList:
+        # fix every listed vertex; abort when one is missing (g2o.cpp:274-289)
+        try:
+            gauge_ids = [int(s) for s in args.gaugeList.split(",") if s]
+        except ValueError:
+            print(f"error: malformed -gaugeList {args.gaugeList!r}",
+                  file=sys.stderr)
+            return 1
+        fixed_ids = []
+        for gid in gauge_ids:
+            if gid not in graph.vertices:
+                print(f"fatal, not found the vertex of id {gid} in the "
+                      "gaugeList. Aborting", file=sys.stderr)
+                return 1
+            graph.set_fixed(gid, True)
+            fixed_ids.append(str(gid))
+        print(f"Fixing gauges: {' '.join(fixed_ids)}", file=sys.stderr)
+    elif args.gaugeId >= 0:
         if args.gaugeId not in graph.vertices:
             print(f"cannot find gauge vertex {args.gaugeId}", file=sys.stderr)
             return 1
@@ -246,6 +273,29 @@ def main(argv=None):
     for k in sorted(set(props) - set(props_use)):
         print(f"# solver ignores property {k}", file=sys.stderr)
     algorithm = spec.make(marginalize=use_schur, **props_use)
+    if args.solverProperties or args.printSolverProperties:
+        # printProperties analogue (g2o.cpp:224-226): reference-style
+        # property names, values as configured on the algorithm object
+        prop_display = {
+            "initial_lambda": "initialLambda",
+            "max_trials_after_failure": "maxTrialsAfterFailure",
+            "initial_delta": "initialDelta",
+            "pcg_iters": "pcgIterations",
+            "pcg_tol": "pcgTolerance",
+            "pcg_cheby": "pcgChebyshevDegree",
+            "tau": "tau",
+        }
+        print(f"# solver properties ({args.solver}):", file=sys.stderr)
+        target = getattr(algorithm, "_props", None)
+        shown = False
+        for attr, disp in prop_display.items():
+            val = (target.get(attr) if isinstance(target, dict) and
+                   attr in target else getattr(algorithm, attr, None))
+            if val is not None:
+                print(f"#\t {disp}: {val}", file=sys.stderr)
+                shown = True
+        if not shown:
+            print("#\t (no configurable properties)", file=sys.stderr)
     if use_schur:
         print("# Schur complement: marginalizing "
               f"{prob.static.marginalized_groups[0].name}", file=sys.stderr)
@@ -274,6 +324,29 @@ def main(argv=None):
     out, stats = optimize(prob, algorithm, iterations=args.max_iterations,
                           verbose=args.verbose, terminate=terminate)
     final_chi = stats[-1]["chi2"] if stats else chi0
+
+    if args.computeMarginals:
+        # g2o.cpp:556-583: the (i, i) diagonal block of every free vertex
+        # plus the (prev_free, i) off-diagonal, printed to stderr. The
+        # hessianIndex ordering is the poses-first compile order here.
+        from openslam_g2o_tpu.core.marginals import compute_marginals_pairs
+        free_vids = [vid for vid, rec in graph.vertices.items()
+                     if not rec.fixed]
+        pairs = []
+        for i, vid in enumerate(free_vids):
+            pairs.append((vid, vid))
+            if i > 0:
+                pairs.append((free_vids[i - 1], vid))
+        blocks = compute_marginals_pairs(out, graph, pairs)
+        np.set_printoptions(precision=6, suppress=True)
+        for i, vid in enumerate(free_vids):
+            print(f"Vertex id:{vid}", file=sys.stderr)
+            print(f"inv block :{vid}, {vid}", file=sys.stderr)
+            print(blocks[(vid, vid)], file=sys.stderr)
+            if i > 0:
+                pv = free_vids[i - 1]
+                print(f"inv block :{pv}, {vid}", file=sys.stderr)
+                print(blocks[(pv, vid)], file=sys.stderr)
 
     if args.stats:
         with open(args.stats, "w") as f:

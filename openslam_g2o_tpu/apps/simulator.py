@@ -271,6 +271,127 @@ def create_sphere(n_laps: int = 50, n_per_lap: int = 50, radius: float = 100.0,
     return g, gt
 
 
+def synthetic_pose_graph_2d(n_poses: int = 100000, grid: int = 100,
+                            trans_noise: float = 0.05,
+                            rot_noise: float = 0.01, closure_prob: float = 0.5,
+                            seed: int = 0, dtype=None):
+    """Large SE2 pose graph, built directly into device tables (the 100k+
+    analogue of the Manhattan/grid datasets — simulator2d.cpp workload
+    shape at a scale the bundled files never reach).
+
+    Geometry: serpentine (boustrophedon) sweeps over a grid x grid lattice,
+    repeated until n_poses; loop closures connect each pose to the pose one
+    sweep earlier in the same cell (the create_sphere inter-lap pattern,
+    flattened). Construction is fully vectorized numpy — cumsum integrates
+    both the ground-truth trajectory and the noisy odometry init — so a
+    100k-pose graph builds in O(100 ms), not minutes of per-record Graph
+    bookkeeping.
+
+    Noise is drawn with the exact sigmas the information matrix encodes, so
+    the converged chi2 has a computable noise floor:
+    E[chi2_min] ~ 3*E - 3*(N-1)  (whitened residual dof) — the convergence
+    gate for shapes with no recorded reference minimum (BASELINE.md
+    protocol, same role as expected_ba_chi2).
+
+    Returns (Problem, info dict with gt trajectory + n_edges)."""
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.core import problem as P
+    from openslam_g2o_tpu.core import registry, robust
+
+    rng = np.random.default_rng(seed)
+    N = n_poses
+    sweep = grid * grid
+
+    # serpentine lattice coordinates for pose index i (vectorized)
+    i = np.arange(N)
+    cell = i % sweep
+    row = cell // grid
+    col_in = cell % grid
+    col = np.where(row % 2 == 0, col_in, grid - 1 - col_in)
+    # successive sweeps alternate row direction so the walk is continuous
+    srow = np.where((i // sweep) % 2 == 0, row, grid - 1 - row)
+    x = col.astype(np.float64)
+    y = srow.astype(np.float64)
+
+    # headings: direction of the NEXT step (last pose repeats its prior)
+    dx = np.diff(x, append=x[-1])
+    dy = np.diff(y, append=y[-1])
+    dx[-1], dy[-1] = dx[-2], dy[-2]
+    theta = np.arctan2(dy, dx)
+    gt = np.stack([x, y, theta], axis=1)
+
+    # odometry edges i -> i+1: z = T_i^-1 * T_{i+1} (+ noise with the
+    # information's sigmas)
+    ii_o = np.arange(N - 1)
+    jj_o = ii_o + 1
+    c, s = np.cos(theta[ii_o]), np.sin(theta[ii_o])
+    rdx = x[jj_o] - x[ii_o]
+    rdy = y[jj_o] - y[ii_o]
+    zx = c * rdx + s * rdy
+    zy = -s * rdx + c * rdy
+    zth = np_lie.normalize_angle(theta[jj_o] - theta[ii_o])
+    z_odo = np.stack([zx, zy, zth], axis=1)
+    z_odo[:, :2] += rng.normal(0, trans_noise, (N - 1, 2))
+    z_odo[:, 2] = np_lie.normalize_angle(
+        z_odo[:, 2] + rng.normal(0, rot_noise, N - 1))
+
+    # closures: pose i -> i - sweep (same lattice cell, one sweep earlier)
+    cand = np.arange(sweep, N)
+    cand = cand[rng.random(len(cand)) < closure_prob]
+    ii_c = cand - sweep
+    jj_c = cand
+    c, s = np.cos(theta[ii_c]), np.sin(theta[ii_c])
+    rdx = x[jj_c] - x[ii_c]
+    rdy = y[jj_c] - y[ii_c]
+    z_clo = np.stack([c * rdx + s * rdy, -s * rdx + c * rdy,
+                      np_lie.normalize_angle(theta[jj_c] - theta[ii_c])],
+                     axis=1)
+    z_clo[:, :2] += rng.normal(0, trans_noise, (len(cand), 2))
+    z_clo[:, 2] = np_lie.normalize_angle(
+        z_clo[:, 2] + rng.normal(0, rot_noise, len(cand)))
+
+    ii = np.concatenate([ii_o, ii_c]).astype(np.int32)
+    jj = np.concatenate([jj_o, jj_c]).astype(np.int32)
+    meas = np.concatenate([z_odo, z_clo])
+    E = len(meas)
+    info = np.diag([1.0 / trans_noise ** 2, 1.0 / trans_noise ** 2,
+                    1.0 / rot_noise ** 2])
+
+    # noisy init: integrate the noisy odometry chain (cumsum — the
+    # spanning-tree initial guess the file datasets ship with)
+    th0 = theta[0] + np.concatenate(
+        [[0.0], np.cumsum(z_odo[:, 2])])
+    cth, sth = np.cos(th0[:-1]), np.sin(th0[:-1])
+    step = np.stack([cth * z_odo[:, 0] - sth * z_odo[:, 1],
+                     sth * z_odo[:, 0] + cth * z_odo[:, 1]], axis=1)
+    pos0 = np.concatenate([[gt[0, :2]], gt[0, :2] + np.cumsum(step, axis=0)])
+    init = np.stack([pos0[:, 0], pos0[:, 1],
+                     np_lie.normalize_angle(th0)], axis=1)
+
+    if dtype is None:
+        dtype = jnp.zeros((), jnp.float64).dtype
+    vt = registry.vertex_type("se2")
+    et = registry.edge_type("edge_se2")
+    free = np.ones(N)
+    free[0] = 0.0
+    init[0] = gt[0]
+    vg = P.VGroup("se2", vt, N, 0)
+    eg = P.EGroup(et.name, et, robust.NONE_ID, E)
+    static = P.ProblemStatic((vg,), (eg,), 3 * N, 3 * N)
+    edges = {et.name: P.EdgeArrays(
+        (jnp.asarray(ii), jnp.asarray(jj)),
+        jnp.asarray(meas, dtype=dtype),
+        jnp.asarray(np.tile(info, (E, 1, 1)), dtype=dtype),
+        jnp.ones((E,), dtype=dtype),
+        ())}
+    prob = P.Problem(
+        params={"se2": jnp.asarray(init, dtype=dtype)},
+        free={"se2": jnp.asarray(free, dtype=dtype)},
+        edges=edges, static=static)
+    return prob, {"gt": gt, "n_edges": E,
+                  "noise_floor_chi2": 3.0 * E - 3.0 * (N - 1)}
+
+
 def synthetic_bal_problem(n_cams: int = 400, n_points: int = 50000,
                           obs_per_point: int = 8, pixel_noise: float = 1.0,
                           cam_noise: float = 0.02, point_noise: float = 0.1,

@@ -30,7 +30,7 @@ from openslam_g2o_tpu.core.problem import (
 from openslam_g2o_tpu.core.solvers import solve_dense_cholesky
 
 __all__ = ["GaussNewton", "LevenbergMarquardt", "LevenbergMarquardtPCG",
-           "Dogleg", "optimize", "TerminateCriterion"]
+           "Dogleg", "DoglegPCG", "optimize", "TerminateCriterion"]
 
 # Lower edge of the Chebyshev spectral bracket, as a fraction of the
 # Gershgorin upper bound of the Jacobi-SCALED system. The scaled system has
@@ -200,9 +200,11 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     of the scaled system — ~pcg_cheby-fold fewer outer CG iterations for
     the same matvec work, amortizing the latency-bound per-iteration
     overhead (solvers.make_chebyshev_precond). pcg_iters keeps counting
-    MATVECS: the outer-iteration budget is scaled internally to
-    pcg_iters // pcg_cheby, so enabling the preconditioner never inflates
-    the matvec work past the plain-CG budget.
+    MATVECS: each outer iteration costs exactly pcg_cheby matvecs (1 for
+    the A-apply + pcg_cheby-1 inside the degree-(pcg_cheby-1) polynomial
+    apply), so the internal outer budget pcg_iters // pcg_cheby holds the
+    loop's matvec total to ~pcg_iters (+1 preconditioner application on
+    the initial residual, outside the loop).
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
@@ -514,6 +516,147 @@ def _dogleg_step(prob: Problem, params: dict, delta, lam, was_pd, chi_cur,
     return best_params, delta_out, lam_out, still_pd, best_chi, tries, good
 
 
+@partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol"))
+def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
+                     was_pd, chi_cur, max_trials: int = 100,
+                     pcg_iters: int = 150, pcg_tol: float = 1e-8):
+    """Matrix-free Dogleg on the block-ELL pattern: the analogue of the
+    reference's dl_var running over BlockSolverBase::multiplyHessian
+    (block_solver.h:90) — H never materializes; h_sd comes from one ELL
+    matvec, h_gn from the Jacobi-scaled PCG of the LM-PCG path, and the
+    blend/trust-radius semantics are identical to the dense `_dogleg_step`
+    (optimization_algorithm_dogleg.cpp:57-205). This lifts Dogleg past the
+    dense-Cholesky size ceiling onto exactly the graphs where trust-region
+    robustness matters.
+
+    Reference-parity notes: the escalating-lambda retry on a non-PD system
+    mirrors the dense step (minLambda=1e-12, maxLambda=1e3, factor 10);
+    "solver failed" here means the scaled PCG hit non-finite values or
+    negative curvature (pcg_solve's ok flag) instead of a failed Cholesky.
+    """
+    from openslam_g2o_tpu.core.problem import apply_update_parts
+    from openslam_g2o_tpu.core.sparse import (
+        assemble_ell, ell_add_diag_kmajor, ell_matvec_lane_kmajor_tiered,
+        ell_scale_jacobi_kmajor, ell_split_tiers_kmajor, ell_values_to_kmajor,
+        lane_block_mv)
+    from openslam_g2o_tpu.core.solvers import (
+        _tree_dot, batched_chol_inv_lower, pcg_solve)
+
+    work = prob.with_params(params)
+    lin = linearize(work)
+    values, b = assemble_ell(work, pattern, lin)
+    diag_blocks = pattern.diag_blocks(work, values)
+    bT = {k: v.T for k, v in b.items()}
+    nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
+    self_maskT = tuple(None if m is None else m.T
+                       for m in pattern.self_mask)
+    values_k = ell_values_to_kmajor(work, pattern, values)
+    eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
+            for g in work.static.vgroups}
+
+    # undamped H apply with unit diagonal on fixed slots (the
+    # build_dense_system convention — J columns at fixed slots are already
+    # masked, so b and every step stay zero there)
+    extra0 = {g.name: 1.0 - work.free[g.name] for g in work.static.vgroups}
+    vals0_k = ell_add_diag_kmajor(work, pattern, values_k, extra0,
+                                  self_maskT=self_maskT)
+    tiers0 = ell_split_tiers_kmajor(work, pattern, vals0_k)
+    mv0 = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers0, xT)
+
+    hbT = mv0(bT)
+    b_dot_b = _tree_dot(bT, bT)
+    alpha = b_dot_b / jnp.maximum(_tree_dot(hbT, bT), 1e-30)
+    h_sdT = jax.tree_util.tree_map(lambda x: alpha * x, bT)
+    hsd_sq = alpha * alpha * b_dot_b
+    hsd_norm = jnp.sqrt(hsd_sq)
+
+    def gn_solve(lam_c):
+        """Jacobi-scaled PCG solve of (H + lam_c I_free) h = b — the
+        _lm_pcg_step per-trial pipeline, without the LM trial semantics."""
+        extra = {g.name: lam_c * work.free[g.name]
+                 + (1.0 - work.free[g.name]) for g in work.static.vgroups}
+        damped_k = ell_add_diag_kmajor(work, pattern, values_k, extra,
+                                       self_maskT=self_maskT)
+        dblocks = {name: diag_blocks[name]
+                   + extra[name][:, None, None] * eyes[name][None]
+                   for name in diag_blocks}
+        linv = {name: batched_chol_inv_lower(dblocks[name])
+                for name in dblocks}
+        svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
+                                          nbT=nbT)
+        tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
+        mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
+                                                      xT)
+        linv_lane = {name: jnp.moveaxis(linv[name], 0, -1) for name in linv}
+        bhatT = lane_block_mv(linv_lane, bT)
+        xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters, tol=pcg_tol,
+                             unroll=2, norm="precond")
+        return lane_block_mv(linv_lane, xhat, transpose=True), ok
+
+    def damp_cond(st):
+        ok, lam_c, x, tries = st
+        return jnp.logical_and(jnp.logical_not(ok), tries < 20)
+
+    def damp_body(st):
+        ok, lam_c, x, tries = st
+        use_lam = jnp.where(was_pd, 0.0, lam_c)
+        x_new, solver_ok = gn_solve(use_lam)
+        lam_next = jnp.where(solver_ok,
+                             jnp.maximum(1e-12, lam_c / 5.0),
+                             jnp.minimum(lam_c * 10.0, 1e3))
+        return solver_ok, lam_next, x_new, tries + 1
+
+    x0, ok0 = gn_solve(jnp.where(was_pd, 0.0, lam))
+    lam1 = jnp.where(ok0, jnp.maximum(1e-12, lam / 5.0), lam * 10.0)
+    gn_ok, lam_out, h_gnT, _ = jax.lax.while_loop(
+        damp_cond, damp_body, (ok0, lam1, x0, jnp.int32(0)))
+    still_pd = jnp.logical_and(was_pd, ok0)
+    hgn_norm = jnp.sqrt(_tree_dot(h_gnT, h_gnT))
+
+    def trial_cond(st):
+        tries, good = st[0], st[1]
+        return jnp.logical_and(jnp.logical_not(good), tries < max_trials)
+
+    def trial_body(st):
+        tries, good, delta_c, best_params, best_chi, _ = st
+        bmaT = jax.tree_util.tree_map(jnp.subtract, h_gnT, h_sdT)
+        bma_sq = jnp.maximum(_tree_dot(bmaT, bmaT), 1e-30)
+        c = _tree_dot(h_sdT, bmaT)
+        disc = jnp.sqrt(jnp.maximum(
+            c * c + bma_sq * (delta_c * delta_c - hsd_sq), 0.0))
+        beta = jnp.where(c <= 0, (-c + disc) / bma_sq,
+                         (delta_c * delta_c - hsd_sq)
+                         / jnp.maximum(c + disc, 1e-30))
+        sd_scale = delta_c / jnp.maximum(hsd_norm, 1e-30)
+        h_dlT = jax.tree_util.tree_map(
+            lambda g, s, m: jnp.where(
+                hgn_norm < delta_c, g,
+                jnp.where(hsd_norm > delta_c, sd_scale * s, s + beta * m)),
+            h_gnT, h_sdT, bmaT)
+        linear_gain = -_tree_dot(mv0(h_dlT), h_dlT) \
+            + 2.0 * _tree_dot(bT, h_dlT)
+        linear_gain = jnp.where(jnp.abs(linear_gain) < 1e-12, 1e-12,
+                                linear_gain)
+        cand = apply_update_parts(work, {k: v.T for k, v in h_dlT.items()})
+        chi_new = robust_chi2(work, cand)
+        rho = (chi_cur - chi_new) / linear_gain
+        accept = rho > 0
+        best_params = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(accept, new, old), cand, best_params)
+        best_chi = jnp.where(accept, chi_new, best_chi)
+        hdl_norm = jnp.sqrt(_tree_dot(h_dlT, h_dlT))
+        delta_c = jnp.where(rho > 0.75,
+                            jnp.maximum(delta_c, 3.0 * hdl_norm),
+                            jnp.where(rho < 0.25, delta_c * 0.5, delta_c))
+        return tries + 1, accept, delta_c, best_params, best_chi, rho
+
+    init = (jnp.int32(0), jnp.array(False), delta, params, chi_cur,
+            jnp.array(-1.0, prob.dtype))
+    tries, good, delta_out, best_params, best_chi, _ = jax.lax.while_loop(
+        trial_cond, trial_body, init)
+    return best_params, delta_out, lam_out, still_pd, best_chi, tries, good
+
+
 class Dogleg:
     """Dogleg trust-region algorithm (defaults match
     optimization_algorithm_dogleg.cpp:44-47)."""
@@ -539,6 +682,57 @@ class Dogleg:
         params, delta, lam, was_pd, chi, tries, good = _dogleg_step(
             prob, state["params"], state["delta"], state["lam"],
             state["was_pd"], state["chi2"], max_trials=self.max_trials)
+        new_state = {"params": params, "delta": delta, "lam": lam,
+                     "was_pd": was_pd, "chi2": chi}
+        info = {"chi2": float(chi), "delta": float(delta),
+                "tries": int(tries), "ok": bool(good)}
+        return new_state, info
+
+
+class DoglegPCG:
+    """Dogleg + block-ELL matrix-free PCG — `dl_var_pcg`: trust-region
+    robustness at matrix-free scale (the dense Dogleg caps at the MXU
+    Cholesky size ceiling; this one runs wherever lm_var_pcg runs)."""
+
+    name = "dl_pcg"
+
+    def __init__(self, initial_delta: float = 1e4,
+                 initial_lambda: float = 1e-7,
+                 max_trials_after_failure: int = 100,
+                 pcg_iters: int = 150, pcg_tol: float = 1e-8):
+        self.initial_delta = initial_delta
+        self.initial_lambda = initial_lambda
+        self.max_trials = max_trials_after_failure
+        self.pcg_iters = pcg_iters
+        self.pcg_tol = pcg_tol
+        self._pattern = None
+        self._pattern_for = None
+
+    def pattern(self, prob: Problem):
+        if self._pattern_for is not prob.static:
+            from openslam_g2o_tpu.core.sparse import build_ell_pattern
+            self._pattern = build_ell_pattern(prob)
+            self._pattern_for = prob.static
+        return self._pattern
+
+    use_pattern = LevenbergMarquardtPCG.use_pattern
+
+    def init(self, prob: Problem):
+        self.pattern(prob)
+        return {
+            "params": prob.params,
+            "delta": jnp.asarray(self.initial_delta, prob.dtype),
+            "lam": jnp.asarray(self.initial_lambda, prob.dtype),
+            "was_pd": jnp.array(True),
+            "chi2": robust_chi2(prob),
+        }
+
+    def step(self, prob: Problem, state: dict):
+        params, delta, lam, was_pd, chi, tries, good = _dogleg_pcg_step(
+            prob, self.pattern(prob), state["params"], state["delta"],
+            state["lam"], state["was_pd"], state["chi2"],
+            max_trials=self.max_trials, pcg_iters=self.pcg_iters,
+            pcg_tol=self.pcg_tol)
         new_state = {"params": params, "delta": delta, "lam": lam,
                      "was_pd": was_pd, "chi2": chi}
         info = {"chi2": float(chi), "delta": float(delta),

@@ -51,13 +51,14 @@ from openslam_g2o_tpu.core.problem import (
 from openslam_g2o_tpu.core.solvers import pcg_solve
 
 __all__ = ["build_ba_ell_pattern", "BAEllPattern", "_lm_ba_ell_step",
-           "ba_ell_step", "LevenbergMarquardtSchurELL"]
+           "ba_ell_step", "ba_ell_optimize_fused", "dense_schur_ok",
+           "LevenbergMarquardtSchurELL"]
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["lm_edge_idx", "lm_mask", "cam_edge_idx", "cam_mask",
                       "li", "ci", "lm_cam", "cam_lm", "lm_cam_onehot",
-                      "lm_buckets", "cam_buckets", "lm_perm",
+                      "cam_onehot", "lm_buckets", "cam_buckets", "lm_perm",
                       "cam_perm"],
          meta_fields=["egkey", "lm_slot", "cam_slot", "cam_group", "lm_group"])
 @dataclasses.dataclass
@@ -83,6 +84,7 @@ class ProjGroupPattern:
     lm_cam: jnp.ndarray         # [L, K_l] camera of each landmark slot
     cam_lm: jnp.ndarray         # [C, K_c] landmark of each camera slot
     lm_cam_onehot: jnp.ndarray  # [C, K_l, L] {0,1} or None — dense-Schur
+    cam_onehot: jnp.ndarray     # [E, C] {0,1} or None — MXU owner-reduce
     lm_buckets: tuple           # densify operand (see _DENSE_SCHUR gates)
     cam_buckets: tuple
     lm_perm: jnp.ndarray        # [L]/[C] int32 owner -> concat position,
@@ -248,6 +250,26 @@ _DENSE_SCHUR_MAX_TP = 1536
 _DENSE_SCHUR_MAX_OPERAND_BYTES = 3e8
 
 
+def dense_schur_ok(problem, pattern) -> bool:
+    """Single source of truth for the dense-Schur routing predicate: the
+    solver (_build) and the roofline cost model (utils/roofline
+    .ba_ell_step_cost) must agree on which branch runs, including the
+    single-flat-bucket conditions the bucketed tables would violate."""
+    lg = problem.static.vgroup(pattern.lm_name)
+    L, dl = lg.count, lg.tangent_dim
+    Tp = problem.static.pose_dim
+    itemsize = np.dtype(problem.dtype).itemsize
+    return bool(
+        Tp <= _DENSE_SCHUR_MAX_TP
+        and pattern.proj
+        and all(pg.lm_cam_onehot is not None
+                and len(pg.lm_buckets) == 1
+                and pg.lm_buckets[0][0] is None
+                and pg.lm_buckets[0][1].ndim == 2
+                for pg in pattern.proj)
+        and Tp * dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
+
+
 def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
     """Host symbolic phase. Requires: every edge group with a marginalized
     slot is binary (landmark, pose)."""
@@ -290,13 +312,24 @@ def build_ba_ell_pattern(problem: Problem) -> BAEllPattern:
             kk, ll = np.meshgrid(np.arange(K_l), np.arange(L), indexing="ij")
             oh[ci[lm_tbl].T, kk, ll] = lm_mask.T
             onehot = jnp.asarray(oh, dtype=dt)
+        # camera-side owner-reduce selector [E, C]: turns the Hcc/b_p
+        # owner sums into ONE MXU matmul ([D*D, E] @ [E, C]) instead of
+        # E*K_c*D*D gathered elements — gather throughput (~0.4 ns/elem,
+        # CLAUDE.md) is the governing cost of the reduce phase. Gated by
+        # operand size (the 400k shape would need a 1.4 GB selector).
+        cam_oh = None
+        E_g = len(ci)
+        if E_g * C * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES:
+            coh = np.zeros((E_g, C), dtype=np.float32)
+            coh[np.arange(E_g), ci] = 1.0
+            cam_oh = jnp.asarray(coh, dtype=dt)
         proj.append(ProjGroupPattern(
             jnp.asarray(lm_tbl), jnp.asarray(lm_mask, dtype=dt),
             jnp.asarray(cam_tbl), jnp.asarray(cam_mask, dtype=dt),
             jnp.asarray(li.astype(np.int32)), jnp.asarray(ci.astype(np.int32)),
             jnp.asarray(ci[lm_tbl].astype(np.int32)),
             jnp.asarray(li[cam_tbl].astype(np.int32)),
-            onehot,
+            onehot, cam_oh,
             *(lambda lb, cb: (lb[0], cb[0], lb[1], cb[1]))(
                 _bucketize(lm_tbl, lm_mask, ci[lm_tbl], dt),
                 _bucketize(cam_tbl, cam_mask, li[cam_tbl], dt)),
@@ -513,6 +546,7 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
     lg = problem.static.vgroup(pattern.lm_name)
     L, dl = lg.count, lg.tangent_dim
     Tp = problem.static.pose_dim
+    dense_ok = dense_schur_ok(problem, pattern)
 
     Hll = jnp.zeros((dl, dl, L), dtype=dt)               # lane-major
     b_l = jnp.zeros((dl, L), dtype=dt)
@@ -545,18 +579,34 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
         slot = groups.setdefault(pg.cam_group, {
             "Hcc": jnp.zeros((cg.tangent_dim, cg.tangent_dim, C), dt),
             "bT": jnp.zeros((cg.tangent_dim, C), dt)})
-        slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
-            Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, pg.cam_perm, C).reshape(
-            Dp, Dp, C)
-        slot["bT"] = slot["bT"] + _reduce_k_lane(bp_e, pg.cam_buckets, pg.cam_perm, C)
-        # pre-gather W into BOTH bucketed ELL layouts (one-time per
+        if pg.cam_onehot is not None:
+            # camera-side owner sums as ONE MXU matmul over the edge axis
+            # (the [E, C] selector) — replaces Dp*Dp*E + Dp*E gathered
+            # elements with a 2*(Dp*Dp+Dp)*E*C-FLOP matmul that rides the
+            # systolic array (gather throughput is the phase's cost
+            # otherwise; see the cam_onehot field comment)
+            stream = jnp.concatenate(
+                [Hcc_e.reshape(Dp * Dp, -1), bp_e], axis=0)
+            red = stream @ pg.cam_onehot
+            slot["Hcc"] = slot["Hcc"] + red[:Dp * Dp].reshape(Dp, Dp, C)
+            slot["bT"] = slot["bT"] + red[Dp * Dp:]
+        else:
+            slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
+                Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, pg.cam_perm,
+                C).reshape(Dp, Dp, C)
+            slot["bT"] = slot["bT"] + _reduce_k_lane(
+                bp_e, pg.cam_buckets, pg.cam_perm, C)
+        # pre-gather W into the bucketed ELL layouts (one-time per
         # linearization) so PCG matvecs gather only from the small [D, N]
-        # vector tables
+        # vector tables. The camera-side table is ONLY consumed by the
+        # implicit-PCG solve branch — on the dense-Schur route every W
+        # product runs through B2, so the gather is skipped entirely.
         W_stream = W_T.reshape(Dp * dl, -1)
         proj_data.append({
             "pg": pg,
             "W_lm": _gather_w_lane(W_stream, pg.lm_buckets),
-            "W_cam": _gather_w_lane(W_stream, pg.cam_buckets),
+            "W_cam": (None if dense_ok
+                      else _gather_w_lane(W_stream, pg.cam_buckets)),
             "Dp": Dp})
 
     # pose-only edges -> small dense extra over the pose tangent block
@@ -591,16 +641,6 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
     # MXU contraction, no gathers/scatters. See the _DENSE_SCHUR gates.
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
-    itemsize = np.dtype(problem.dtype).itemsize
-    dense_ok = (
-        Tp <= _DENSE_SCHUR_MAX_TP
-        and proj_data
-        and all(pd["pg"].lm_cam_onehot is not None
-                and len(pd["pg"].lm_buckets) == 1
-                and pd["pg"].lm_buckets[0][0] is None
-                and pd["pg"].lm_buckets[0][1].ndim == 2
-                for pd in proj_data)
-        and Tp * dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
     B2 = None
     if dense_ok:
         parts = []
@@ -917,6 +957,39 @@ def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
     return _lm_ba_ell_step(prob, pattern, params, lam, ni, chi_cur,
                            max_trials=max_trials, pcg_iters=pcg_iters,
                            pcg_tol=pcg_tol, peel=not _has_chunked(pattern))
+
+
+@partial(jax.jit, static_argnames=("n_iters", "max_trials", "pcg_iters",
+                                   "pcg_tol", "peel"))
+def ba_ell_optimize_fused(prob: Problem, pattern: BAEllPattern, params: dict,
+                          lam, ni, chi, n_iters: int = 10,
+                          max_trials: int = 10, pcg_iters: int = 100,
+                          pcg_tol: float = 1e-10, peel: bool = True):
+    """Run n_iters dual-ELL Schur LM iterations as ONE device program
+    (lax.scan over _lm_ba_ell_step) — no host round-trip between
+    iterations. The per-step host dispatch through a remote-tunnel TPU
+    costs ~3.5-4 ms (measured round 4: the 80k-obs trial body is 5.8 ms
+    scan-differenced, the host-driven step 9.3-9.8 ms), so the fused
+    runner is where the serving-path number comes from — the same
+    methodology as the pose-graph lm_pcg_optimize_fused.
+
+    Only valid for patterns ba_ell_step would route to the fused while
+    step (no multi-bucket tables — those must stay host-driven, see
+    _wants_host_trials); chunk-scanned patterns must pass peel=False
+    (the on-chip-verified 400k configuration).
+
+    Returns (params, lam, ni, chi, chi_trajectory [n_iters])."""
+
+    def body(carry, _):
+        params, lam, ni, chi = carry
+        params, lam, ni, chi, trials, ok = _lm_ba_ell_step.__wrapped__(
+            prob, pattern, params, lam, ni, chi, max_trials=max_trials,
+            pcg_iters=pcg_iters, pcg_tol=pcg_tol, peel=peel)
+        return (params, lam, ni, chi), chi
+
+    (params, lam, ni, chi), traj = jax.lax.scan(
+        body, (params, lam, ni, chi), None, length=n_iters)
+    return params, lam, ni, chi, traj
 
 
 class LevenbergMarquardtSchurELL:

@@ -19,7 +19,8 @@ import re
 from typing import Optional
 
 from openslam_g2o_tpu.core.algorithms import (
-    Dogleg, GaussNewton, LevenbergMarquardt, LevenbergMarquardtPCG)
+    Dogleg, DoglegPCG, GaussNewton, LevenbergMarquardt,
+    LevenbergMarquardtPCG)
 from openslam_g2o_tpu.core.ba import LevenbergMarquardtSchur
 
 __all__ = ["construct_algorithm", "list_algorithms", "AlgorithmSpec"]
@@ -95,6 +96,8 @@ class AlgorithmSpec:
             return (LevenbergMarquardtSchurELL, LevenbergMarquardtSchur)
         if self.backend == "pcg" and self.algo_name == "lm":
             return (LevenbergMarquardtPCG,)
+        if self.backend == "pcg" and self.algo_name == "dl":
+            return (DoglegPCG,)
         return (_ALGOS[self.algo_name],)
 
     def accepted_props(self, marginalize: bool = False) -> set:
@@ -124,6 +127,8 @@ class AlgorithmSpec:
             return _SchurAuto(**props)
         if self.backend == "pcg" and self.algo_name == "lm":
             return LevenbergMarquardtPCG(**props)
+        if self.backend == "pcg" and self.algo_name == "dl":
+            return DoglegPCG(**props)
         return _ALGOS[self.algo_name](**props)
 
 

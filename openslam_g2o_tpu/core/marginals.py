@@ -28,7 +28,7 @@ from openslam_g2o_tpu.core.problem import (
     Problem, build_dense_system, linearize, tangent_masks)
 
 __all__ = ["compute_marginals", "compute_marginals_all_diagonal",
-           "compute_marginals_schur"]
+           "compute_marginals_schur", "compute_marginals_pairs"]
 
 
 def _vertex_slices(problem: Problem, graph, vertex_ids):
@@ -96,6 +96,46 @@ def compute_marginals(problem: Problem, graph, vertex_ids: Sequence[int],
     return out
 
 
+def compute_marginals_pairs(problem: Problem, graph, pairs):
+    """Arbitrary (vertex_i, vertex_j) blocks of H^-1: {(vi, vj): np[Di, Dj]}.
+
+    The CLI's -computeMarginals surface (g2o.cpp:556-583 requests the
+    (hessianIndex, hessianIndex) diagonal blocks plus the (i-1, i)
+    off-diagonals): the reference recovers them from the CHOLMOD factor via
+    MarginalCovarianceCholesky; here one dense MXU Cholesky + a batched
+    triangular solve against the UNION of requested columns yields every
+    requested block — all rows of H^-1[:, cols] come out of the same solve,
+    so off-diagonal blocks are free once the columns are solved."""
+    col_vids = sorted({vj for _, vj in pairs})
+    slices_j = dict(zip(col_vids, _vertex_slices(problem, graph, col_vids)))
+    H, _, _ = build_dense_system(problem)
+    L = jnp.linalg.cholesky(H)
+    cols = np.concatenate([np.arange(off, off + d)
+                           for off, d in (slices_j[v] for v in col_vids)])
+    col_pos = {}
+    pos = 0
+    for v in col_vids:
+        col_pos[v] = pos
+        pos += slices_j[v][1]
+    T = problem.static.total_dim
+    rhs = jnp.zeros((T, len(cols)), dtype=problem.dtype)
+    rhs = rhs.at[jnp.asarray(cols), jnp.arange(len(cols))].set(1.0)
+    y = solve_triangular(L, rhs, lower=True)
+    X = solve_triangular(L.T, y, lower=False)        # H^-1 [:, cols]
+    free_t, _ = tangent_masks(problem)
+    X = np.asarray(X * free_t[:, None])
+
+    row_vids = sorted({vi for vi, _ in pairs})
+    slices_i = dict(zip(row_vids, _vertex_slices(problem, graph, row_vids)))
+    out = {}
+    for vi, vj in pairs:
+        off_i, di = slices_i[vi]
+        pj = col_pos[vj]
+        dj = slices_j[vj][1]
+        out[(vi, vj)] = X[off_i:off_i + di, pj:pj + dj]
+    return out
+
+
 def _pair_tiles(K: int, tile: int = 32):
     """Static (k0, k1) tile pairs covering the [K, K] neighbor-pair square —
     bounds peak memory of the L x K x K block tensors at BA scale."""
@@ -115,15 +155,23 @@ def compute_marginals_schur(problem: Problem, pattern=None):
         Cov_ll(j)   = Hll_j^-1 + Hll_j^-1 B_j^T S^-1 B_j Hll_j^-1
 
     where B_j = W[:, j] has nonzero blocks only at the cameras observing
-    landmark j — exactly the landmark-major ELL rows of core/ba_ell.py, so S
-    assembly and the landmark correction are K x K neighbor-pair einsums, no
-    global landmark inverse. S itself is dense [Tp, Tp] (pose tangent dims),
-    the object the reference also factorizes; its MXU Cholesky replaces
-    CHOLMOD. Fixed vertices get zero covariance (hessianIndex == -1
-    semantics, sparse_optimizer.cpp:177-188).
+    landmark j — exactly the landmark-major ELL rows of core/ba_ell.py. S
+    itself is dense [Tp, Tp] (pose tangent dims), the object the reference
+    also factorizes; its MXU Cholesky replaces CHOLMOD. Fixed vertices get
+    zero covariance (hessianIndex == -1 semantics,
+    sparse_optimizer.cpp:177-188).
+
+    Two assembly routes, chosen by the same predicate as the solver
+    (ba_ell.dense_schur_ok): when the one-hot densify operand exists, the
+    coupling terms are THREE MXU matmuls on the dense B = W [Tp, dl*L] —
+    S -= B Hll^-1 B^T, and corr_l = (B^T S^-1 B)_ll via M = S^-1 B — with
+    no gathers or scatters anywhere (round-4 redesign: the old tiled
+    K x K neighbor-pair scatter assembly measured 4.1 s at the 80k-obs
+    bench shape; the matmul route is bounded by ~2 [Tp, dl*L] matmuls).
+    The tiled K x K route remains as the beyond-gate fallback.
     """
     from openslam_g2o_tpu.core.ba_ell import (
-        _build, build_ba_ell_pattern)
+        _build, _eye_lane, _inv_lane, build_ba_ell_pattern, dense_schur_ok)
     from openslam_g2o_tpu.core.solvers import batched_small_inv
 
     if pattern is None:
@@ -137,14 +185,14 @@ def compute_marginals_schur(problem: Problem, pattern=None):
     eye_l = jnp.eye(dl, dtype=dt)
     # undamped; fixed landmarks carry identity blocks (their W rows are
     # already masked to zero by linearize). _build returns lane-major
-    # [dl, dl, L] stacks (the ba_ell hot-loop layout); this once-per-call
-    # path works row-major.
-    Hll_row = jnp.moveaxis(sys["Hll"], -1, 0)            # [L, dl, dl]
-    Hll_d = Hll_row + (1.0 - free_l)[:, None, None] * eye_l
-    Hinv = batched_small_inv(Hll_d)
+    # [dl, dl, L] stacks (the ba_ell hot-loop layout).
+    Hll_d_lane = sys["Hll"] + _eye_lane(dl, dt) * (1.0 - free_l)[None, None]
+    Hinv_lane = _inv_lane(Hll_d_lane)                    # [dl, dl, L]
+    Hinv = jnp.moveaxis(Hinv_lane, -1, 0)                # [L, dl, dl]
 
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
+    use_dense = dense_schur_ok(problem, pattern) and sys["B2"] is not None
 
     # ---- dense reduced system S over the pose tangent block -------------
     S = jnp.zeros((Tp, Tp), dtype=dt)
@@ -165,23 +213,31 @@ def compute_marginals_schur(problem: Problem, pattern=None):
         g = problem.static.vgroup(pg.cam_group)
         return g.offset, g.tangent_dim
 
-    # subtract W Hll^-1 W^T, tiled over landmark-major neighbor pairs
-    for pd in sys["proj"]:
-        pg = pd["pg"]
-        off, Dp = cam_offsets(pg)
-        W_lm = _gather_w_flat(problem, lin, pg)        # [L, K, Dp, dl]
-        K = W_lm.shape[1]
-        for (a0, a1) in _pair_tiles(K):
-            Wa = jnp.einsum("lkst,ltu->lksu", W_lm[:, a0:a1], Hinv)
-            ca = pg.lm_cam[:, a0:a1]
-            for (b0, b1) in _pair_tiles(K):
-                T = jnp.einsum("lksu,lmvu->lkmsv", Wa, W_lm[:, b0:b1])
-                cb = pg.lm_cam[:, b0:b1]
-                rows = (off + ca[:, :, None] * Dp)[..., None, None] \
-                    + jnp.arange(Dp)[None, None, None, :, None]
-                cols = (off + cb[:, None, :] * Dp)[..., None, None] \
-                    + jnp.arange(Dp)[None, None, None, None, :]
-                S = S.at[rows, cols].add(-T)
+    # subtract W Hll^-1 W^T
+    if use_dense:
+        B2 = sys["B2"]                                   # [Tp, dl*L]
+        B2r = B2.reshape(Tp, dl, L)
+        HB2 = jnp.einsum("utl,ctl->cul", Hinv_lane, B2r).reshape(Tp, dl * L)
+        S_corr = B2 @ HB2.T
+        S = S - 0.5 * (S_corr + S_corr.T)
+    else:
+        # tiled landmark-major neighbor pairs (beyond-gate shapes)
+        for pd in sys["proj"]:
+            pg = pd["pg"]
+            off, Dp = cam_offsets(pg)
+            W_lm = _gather_w_flat(problem, lin, pg)      # [L, K, Dp, dl]
+            K = W_lm.shape[1]
+            for (a0, a1) in _pair_tiles(K):
+                Wa = jnp.einsum("lkst,ltu->lksu", W_lm[:, a0:a1], Hinv)
+                ca = pg.lm_cam[:, a0:a1]
+                for (b0, b1) in _pair_tiles(K):
+                    T = jnp.einsum("lksu,lmvu->lkmsv", Wa, W_lm[:, b0:b1])
+                    cb = pg.lm_cam[:, b0:b1]
+                    rows = (off + ca[:, :, None] * Dp)[..., None, None] \
+                        + jnp.arange(Dp)[None, None, None, :, None]
+                    cols = (off + cb[:, None, :] * Dp)[..., None, None] \
+                        + jnp.arange(Dp)[None, None, None, None, :]
+                    S = S.at[rows, cols].add(-T)
 
     # ---- Cov_pp = S^-1 ---------------------------------------------------
     Lchol = jnp.linalg.cholesky(S)
@@ -199,24 +255,32 @@ def compute_marginals_schur(problem: Problem, pattern=None):
             * f[:, None, None]
 
     # ---- Cov_ll diagonal via back-substitution ---------------------------
-    corr = jnp.zeros((L, dl, dl), dtype=dt)
-    for pd in sys["proj"]:
-        pg = pd["pg"]
-        off, Dp = cam_offsets(pg)
-        W_lm = _gather_w_flat(problem, lin, pg)
-        K = W_lm.shape[1]
-        for (a0, a1) in _pair_tiles(K):
-            ca = pg.lm_cam[:, a0:a1]
-            for (b0, b1) in _pair_tiles(K):
-                cb = pg.lm_cam[:, b0:b1]
-                rows = (off + ca[:, :, None] * Dp)[..., None, None] \
-                    + jnp.arange(Dp)[None, None, None, :, None]
-                cols = (off + cb[:, None, :] * Dp)[..., None, None] \
-                    + jnp.arange(Dp)[None, None, None, None, :]
-                cov_blk = Sinv[rows, cols]             # [L, ka, kb, Dp, Dp]
-                corr = corr + jnp.einsum(
-                    "lkst,lkmsv,lmvu->ltu",
-                    W_lm[:, a0:a1], cov_blk, W_lm[:, b0:b1])
+    if use_dense:
+        # corr_l = (B^T S^-1 B) landmark-diagonal blocks: one MXU matmul
+        # M = S^-1 B, then a Tp-contraction per landmark — B's column block
+        # for landmark l is nonzero exactly at its observing cameras, so
+        # the dense contraction equals the neighbor-pair sum.
+        M = (Sinv @ B2).reshape(Tp, dl, L)
+        corr = jnp.einsum("ctl,cul->ltu", B2r, M)        # [L, dl, dl]
+    else:
+        corr = jnp.zeros((L, dl, dl), dtype=dt)
+        for pd in sys["proj"]:
+            pg = pd["pg"]
+            off, Dp = cam_offsets(pg)
+            W_lm = _gather_w_flat(problem, lin, pg)
+            K = W_lm.shape[1]
+            for (a0, a1) in _pair_tiles(K):
+                ca = pg.lm_cam[:, a0:a1]
+                for (b0, b1) in _pair_tiles(K):
+                    cb = pg.lm_cam[:, b0:b1]
+                    rows = (off + ca[:, :, None] * Dp)[..., None, None] \
+                        + jnp.arange(Dp)[None, None, None, :, None]
+                    cols = (off + cb[:, None, :] * Dp)[..., None, None] \
+                        + jnp.arange(Dp)[None, None, None, None, :]
+                    cov_blk = Sinv[rows, cols]         # [L, ka, kb, Dp, Dp]
+                    corr = corr + jnp.einsum(
+                        "lkst,lkmsv,lmvu->ltu",
+                        W_lm[:, a0:a1], cov_blk, W_lm[:, b0:b1])
     cov_l = Hinv + jnp.einsum("lst,ltu,luv->lsv", Hinv, corr, Hinv)
     out[pattern.lm_name] = cov_l * free_l[:, None, None]
     return out

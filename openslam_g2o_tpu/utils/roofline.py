@@ -146,12 +146,10 @@ def ba_ell_step_cost(problem, pattern, pcg_iters: int,
     flops += L * (Dl ** 3) * 2            # Hll inverse (closed form ~2D^3)
     bts += L * Dl * Dl * itemsize * 2
 
-    from openslam_g2o_tpu.core.ba_ell import (
-        _DENSE_SCHUR_MAX_TP, _DENSE_SCHUR_MAX_OPERAND_BYTES)
-    dense = (pattern.proj
-             and all(pg.lm_cam_onehot is not None for pg in pattern.proj)
-             and Tp <= _DENSE_SCHUR_MAX_TP
-             and Tp * Dl * L * itemsize <= _DENSE_SCHUR_MAX_OPERAND_BYTES)
+    # the SAME predicate the solver's _build uses (shared helper) — the
+    # cost model and the dispatcher cannot diverge on which branch runs
+    from openslam_g2o_tpu.core.ba_ell import dense_schur_ok
+    dense = dense_schur_ok(problem, pattern)
     if dense:
         K = pattern.proj[0].lm_edge_idx.shape[1]
         B_bytes = Tp * Dl * L * itemsize
@@ -159,6 +157,11 @@ def ba_ell_step_cost(problem, pattern, pcg_iters: int,
         # Cholesky + rhs/backsub matvecs
         flops += 2.0 * Tp * 3 * L * K          # one-hot contraction
         bts += L * K * (Tp + Dp * Dl) * itemsize + B_bytes
+        if pattern.proj[0].cam_onehot is not None:
+            # camera-side owner reduce as an [Dp*Dp+Dp, E] @ [E, C] matmul
+            C = pose_g[0].count
+            flops += 2.0 * (Dp * Dp + Dp) * n_obs * C
+            bts += n_obs * C * itemsize
         flops += 2.0 * Tp * Dl * Dl * L        # HB = Hinv o B
         bts += 2.0 * B_bytes
         flops += 2.0 * Tp * Tp * (Dl * L)      # S = B @ HB^T (MXU)

@@ -51,19 +51,25 @@ class TestSchurMarginals:
                 np.asarray(schur[name]), np.asarray(dense[name]),
                 rtol=1e-7, atol=1e-10, err_msg=name)
 
-    def test_pair_tiling_matches_untiled(self):
-        # force several K tiles by shrinking the tile size via monkeypatch
+    def test_tiled_fallback_matches_b2_route(self):
+        """The B2-matmul route (dense_schur_ok shapes) and the tiled
+        K x K neighbor-pair fallback (beyond-gate shapes) are different
+        assemblies of the same identity — force both on one problem."""
+        import openslam_g2o_tpu.core.ba_ell as BE
         import openslam_g2o_tpu.core.marginals as M
         g, _, _ = make_ba_scene(n_cams=6, n_points=20)
         g.set_fixed(1, True)
         prob = g.compile(dtype=jnp.float64)
-        full = compute_marginals_schur(prob)
-        orig = M._pair_tiles
+        full = compute_marginals_schur(prob)          # B2 route
+        orig_tp = BE._DENSE_SCHUR_MAX_TP
+        orig_tiles = M._pair_tiles
         try:
-            M._pair_tiles = lambda K, tile=2: orig(K, 2)
+            BE._DENSE_SCHUR_MAX_TP = 0                # gate off -> tiled
+            M._pair_tiles = lambda K, tile=2: orig_tiles(K, 2)
             tiled = compute_marginals_schur(prob)
         finally:
-            M._pair_tiles = orig
+            BE._DENSE_SCHUR_MAX_TP = orig_tp
+            M._pair_tiles = orig_tiles
         for name in full:
             np.testing.assert_allclose(np.asarray(tiled[name]),
                                        np.asarray(full[name]),

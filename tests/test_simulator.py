@@ -68,3 +68,42 @@ class TestSphere:
         out, stats = optimize(prob, LevenbergMarquardtPCG(pcg_iters=100),
                               iterations=15)
         assert stats[-1]["chi2"] < 0.2 * chi0
+
+
+class TestSyntheticPoseGraph2D:
+    def test_builds_fast_and_converges_to_noise_floor(self):
+        """The 100k-pose bench generator at test scale: vectorized build,
+        LM-PCG reaches the computable noise floor (the convergence gate
+        shapes without a recorded reference minimum use, BASELINE.md)."""
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+        from openslam_g2o_tpu.core.algorithms import (
+            _lambda_init_pcg, lm_pcg_optimize_fused)
+
+        prob, info = synthetic_pose_graph_2d(n_poses=2000, grid=20,
+                                             dtype=jnp.float32)
+        assert info["n_edges"] > 2000
+        chi0 = float(P.robust_chi2(prob))
+        assert chi0 > 10 * info["noise_floor_chi2"]   # init is genuinely bad
+        pattern = build_ell_pattern(prob)
+        lam = _lambda_init_pcg(prob, pattern, prob.params,
+                               jnp.asarray(1e-5, prob.dtype))
+        st = (prob.params, lam, jnp.asarray(2.0, prob.dtype),
+              P.robust_chi2(prob))
+        for _ in range(4):
+            out = lm_pcg_optimize_fused(prob, pattern, *st, n_iters=10,
+                                        pcg_iters=100, pcg_tol=0.15)
+            st = out[:4]
+        assert float(st[3]) <= info["noise_floor_chi2"] * 1.02
+
+    def test_init_integrates_odometry_exactly(self):
+        """The noisy init integrates the noisy odometry chain, so with no
+        closures every odometry residual is identically zero — an exact
+        invariant of the generator regardless of noise level."""
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+        prob, info = synthetic_pose_graph_2d(n_poses=500, grid=10,
+                                             closure_prob=0.0,
+                                             dtype=jnp.float64)
+        assert float(P.chi2(prob)) < 1e-6
