@@ -121,8 +121,48 @@ def run_tpu_manhattan():
             break
         out = polish(st, 10)
         st = out[:4]
-    est = np.asarray(st[0]["se2"])[:, :2]
+    est = np.asarray(st[0]["se2"])        # full [N, 3] (f64 re-evaluation)
     return N_TIMED_ITERS / elapsed, float(st[3]), est
+
+
+def _manhattan_arrays():
+    """Host f64 edge arrays of the Manhattan graph (shared by the CPU
+    baseline and the f64 re-evaluation of the TPU f32 solution)."""
+    from openslam_g2o_tpu.io.g2o_format import load_g2o
+
+    g = load_g2o(MANHATTAN)
+    ids = sorted(g.vertices)
+    idx = {v: i for i, v in enumerate(ids)}
+    x = np.stack([g.vertices[v].params for v in ids])  # [N,3]
+    ii = np.array([idx[e.vertex_ids[0]] for e in g.edges])
+    jj = np.array([idx[e.vertex_ids[1]] for e in g.edges])
+    meas = np.stack([e.measurement for e in g.edges])
+    info = np.stack([e.information for e in g.edges])
+    return x, ii, jj, meas, info
+
+
+def se2_chi2_f64(x, ii, jj, meas, info):
+    """Exact f64 chi2 of an SE2 pose array under the reference chi2
+    definition (sum e^T Omega e) — evaluates the TPU f32 SOLUTION in f64,
+    so f32 chi2 summation/representation stops limiting how tightly the
+    solution can be placed against the f64 minimum (round-4 task:
+    mixed-precision polish accounting)."""
+    from openslam_g2o_tpu.utils import np_lie
+
+    x = np.asarray(x, dtype=np.float64)
+    xi, xj = x[ii], x[jj]
+    ci, si = np.cos(xi[:, 2]), np.sin(xi[:, 2])
+    dx = xj[:, 0] - xi[:, 0]
+    dy = xj[:, 1] - xi[:, 1]
+    rx = ci * dx + si * dy
+    ry = -si * dx + ci * dy
+    rth = xj[:, 2] - xi[:, 2]
+    cz, sz = np.cos(meas[:, 2]), np.sin(meas[:, 2])
+    ex = cz * (rx - meas[:, 0]) + sz * (ry - meas[:, 1])
+    ey = -sz * (rx - meas[:, 0]) + cz * (ry - meas[:, 1])
+    eth = np_lie.normalize_angle(rth - meas[:, 2])
+    r = np.stack([ex, ey, eth], 1)
+    return float(np.einsum("ea,eab,eb->", r, info, r))
 
 
 def run_cpu_baseline(n_iters=3, converge_iters=30):
@@ -134,19 +174,11 @@ def run_cpu_baseline(n_iters=3, converge_iters=30):
     the ATE comparison."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
-    from openslam_g2o_tpu.io.g2o_format import load_g2o
     from openslam_g2o_tpu.utils import np_lie
 
-    g = load_g2o(MANHATTAN)
-    ids = sorted(g.vertices)
-    idx = {v: i for i, v in enumerate(ids)}
-    x = np.stack([g.vertices[v].params for v in ids])  # [N,3]
+    x, ii, jj, meas, info = _manhattan_arrays()
+    N = len(x)
     fixed0 = 0  # gauge
-    ii = np.array([idx[e.vertex_ids[0]] for e in g.edges])
-    jj = np.array([idx[e.vertex_ids[1]] for e in g.edges])
-    meas = np.stack([e.measurement for e in g.edges])
-    info = np.stack([e.information for e in g.edges])
-    N = len(ids)
 
     def errors(x):
         xi, xj = x[ii], x[jj]
@@ -266,20 +298,47 @@ def run_tpu_ba(n_cams, n_points, obs_per_point, pcg_iters, pcg_tol,
     algo = LevenbergMarquardtSchurELL()
     state = algo.init(prob)
     st = (state["params"], state["lam"], state["ni"], state["chi2"])
-    ba_step = lambda *s: ba_ell_step(prob, pattern, *s,
-                                     pcg_iters=pcg_iters, pcg_tol=pcg_tol)
-    out = ba_step(*st)
-    jax.block_until_ready(out[0])
-    st = out[:4]
-    t0 = time.monotonic()
-    for _ in range(n_timed):
-        out = ba_step(*st)
+    from openslam_g2o_tpu.core import ba_ell as BE
+    fused_ok = not (BE._wants_host_trials(pattern) or BE._has_chunked(pattern))
+    if fused_ok:
+        # production serving shape: the whole window is ONE XLA executable
+        # (lax.scan, loop-free trial-per-iteration body) — per-step host
+        # dispatch through the tunnel would otherwise add ~2-4 ms/step
+        # (round-4 measurement); same methodology as the Manhattan window
+        n_timed = max(n_timed, 30)
+        run = lambda s, n: BE.ba_ell_optimize_fused(
+            prob, pattern, *s, n_iters=n, pcg_iters=pcg_iters,
+            pcg_tol=pcg_tol)
+        out = run(st, n_timed)          # compile + move into the basin
+        jax.block_until_ready(out[0])
         st = out[:4]
-    jax.block_until_ready(st[0])
-    elapsed = time.monotonic() - t0
-    for _ in range(n_converge):
-        out = ba_step(*st)
+        elapsed = float("inf")
+        for _ in range(3):
+            t0 = time.monotonic()
+            out = run(st, n_timed)
+            jax.block_until_ready(out[0])
+            elapsed = min(elapsed, time.monotonic() - t0)
         st = out[:4]
+        for _ in range(max(n_converge // n_timed, 1)):
+            out = run(st, n_timed)
+            st = out[:4]
+    else:
+        # chunk-scanned pattern (400k shape): the unpeeled while-loop step
+        # is the only on-chip-verified configuration — host-driven loop
+        ba_step = lambda *s: ba_ell_step(prob, pattern, *s,
+                                         pcg_iters=pcg_iters, pcg_tol=pcg_tol)
+        out = ba_step(*st)
+        jax.block_until_ready(out[0])
+        st = out[:4]
+        t0 = time.monotonic()
+        for _ in range(n_timed):
+            out = ba_step(*st)
+            st = out[:4]
+        jax.block_until_ready(st[0])
+        elapsed = time.monotonic() - t0
+        for _ in range(n_converge):
+            out = ba_step(*st)
+            st = out[:4]
     seconds_per_step = elapsed / n_timed
     cost = RL.ba_ell_step_cost(prob, pattern, pcg_iters=pcg_iters)
     roof = RL.roofline_report(cost, seconds_per_step)
@@ -486,6 +545,115 @@ def run_cpu_ba_baseline(n_cams, n_points, obs_per_point, n_iters=3,
     return n_iters / elapsed, chi
 
 
+def run_pose_graph_100k():
+    """100,000-pose SE2 pose graph on ONE chip — the scale proof for the
+    pose-graph path (the reference handles such graphs via CHOLMOD,
+    linear_solver_csparse.h:106-143; here the two-tier lane-major ELL-PCG
+    LM runs the whole problem on-chip). Synthetic serpentine-grid graph
+    with a computable noise floor (synthetic_pose_graph_2d docstring);
+    gate: converge within 2% of the floor."""
+    import jax
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+    from openslam_g2o_tpu.core.sparse import build_ell_pattern
+    from openslam_g2o_tpu.core.algorithms import (
+        _lambda_init_pcg, lm_pcg_optimize_fused)
+    from openslam_g2o_tpu.core.problem import robust_chi2
+    from openslam_g2o_tpu.utils import roofline as RL
+
+    # noise scale: rotation drift over one 10k-pose sweep must stay well
+    # under pi/2 or the closure measurements wrap and the problem stops
+    # being basin-connected from the odometry init (round-4 on-chip
+    # finding: sigma_rot=0.01 at 100k poses stalls LM at 30x the floor —
+    # the reference would need its 2dlinear orientation init there too)
+    t0 = time.monotonic()
+    prob, info = synthetic_pose_graph_2d(n_poses=100000, grid=100,
+                                         trans_noise=0.03, rot_noise=0.002,
+                                         dtype=jnp.float32)
+    pattern = build_ell_pattern(prob)
+    build_s = time.monotonic() - t0
+    lam = _lambda_init_pcg(prob, pattern, prob.params,
+                           jnp.asarray(1e-5, prob.dtype))
+    st = (prob.params, lam, jnp.asarray(2.0, prob.dtype), robust_chi2(prob))
+    run = lambda s, n: lm_pcg_optimize_fused(prob, pattern, *s, n_iters=n,
+                                             pcg_iters=100, pcg_tol=0.15)
+    t0 = time.monotonic()
+    out = run(st, 10)
+    jax.block_until_ready(out[0])
+    compile_s = time.monotonic() - t0
+    st = out[:4]
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.monotonic()
+        out = run(st, 10)
+        jax.block_until_ready(out[0])
+        elapsed = min(elapsed, time.monotonic() - t0)
+    st = out[:4]
+    floor = info["noise_floor_chi2"]
+    for _ in range(8):
+        if float(st[3]) <= floor * 1.05:
+            break
+        out = run(st, 10)
+        st = out[:4]
+    # polish: warm-started tighter-tolerance windows (the Manhattan polish
+    # config; NOTE pcg budget 2000 in a fused window faulted the TPU
+    # backend at this shape on this toolchain — keep the proven 600)
+    pol = lambda s: lm_pcg_optimize_fused(
+        prob, pattern, *s, n_iters=5, pcg_iters=600, pcg_tol=1e-6,
+        warm=True)
+    for _ in range(10):
+        if float(st[3]) <= floor * 1.02:
+            break
+        out = pol(st)
+        st = out[:4]
+    # per-CG-iteration roofline (two fixed-budget solves, differenced)
+    from openslam_g2o_tpu.core.problem import (
+        linearize, block_jacobi_preconditioner_lane)
+    from openslam_g2o_tpu.core.sparse import assemble_ell, ell_matvec_lane
+    from openslam_g2o_tpu.core.solvers import pcg_solve
+    work = prob.with_params(st[0])
+    lin = linearize(work)
+    values, b = assemble_ell(work, pattern, lin)
+    diag = pattern.diag_blocks(work, values)
+    lamx = jnp.asarray(1e-3, prob.dtype)
+    bT = {k: v.T for k, v in b.items()}
+    free_lane = {g.name: work.free[g.name][None, :]
+                 for g in work.static.vgroups}
+    extraT = {k: lamx * f + (1.0 - f) for k, f in free_lane.items()}
+
+    def solve_n(n):
+        def f(values, bT):
+            mv = lambda xT: ell_matvec_lane(work, pattern, values, xT,
+                                            extra_diagT=extraT)
+            pre = block_jacobi_preconditioner_lane(work, diag, lamx)
+            return pcg_solve(mv, bT, precond=pre, max_iter=n, tol=0.0,
+                             unroll=2)
+        jf = jax.jit(f)
+        out = jf(values, bT)
+        jax.block_until_ready(out)
+        t0 = time.monotonic()
+        for _ in range(5):
+            out = jf(values, bT)
+        jax.block_until_ready(out)
+        return (time.monotonic() - t0) / 5
+
+    per_iter = max((solve_n(110) - solve_n(10)) / 100, 1e-9)
+    cost = RL.ell_pcg_iteration_cost(prob, pattern)
+    return {
+        "n_poses": 100000,
+        "n_edges": int(info["n_edges"]),
+        "lm_iters_per_sec": round(10 / elapsed, 2),
+        "ms_per_lm_iter": round(elapsed / 10 * 1e3, 2),
+        "final_chi2": round(float(st[3]), 1),
+        "noise_floor_chi2": round(floor, 1),
+        "chi2_gate": BA_CHI2_GATE,
+        "converged_to_noise_floor": bool(float(st[3]) <= floor * 1.02),
+        "build_plus_pattern_seconds": round(build_s, 2),
+        "compile_seconds_first_window": round(compile_s, 1),
+        "cg_iteration_roofline": RL.roofline_report(cost, per_iter),
+    }
+
+
 def run_marginals_80k():
     """Schur-path marginal covariances ON the 80k-observation BA problem,
     on-chip: wall time + a spot-check of camera/landmark diagonal blocks
@@ -627,24 +795,32 @@ def run_tpu_sphere(n_iters=60):
                                     pcg_iters=200, pcg_tol=0.05)
         st = out[:4]
     name = next(iter(st[0]))
-    return float(st[3]), np.asarray(st[0][name])[:, :3]
+    return float(st[3]), np.asarray(st[0][name])
 
 
-def run_cpu_sphere_f64(n_iters=60):
+def run_cpu_sphere_f64(tpu_solution=None, n_iters=60):
     """f64 CPU reference trajectory for the sphere (enable x64 LAST — this
-    must run after all f32 TPU work; flipping the flag invalidates traces)."""
+    must run after all f32 TPU work; flipping the flag invalidates traces).
+    Also re-evaluates the TPU f32 SOLUTION's chi2 in f64 (same
+    mixed-precision accounting as the Manhattan block)."""
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG, optimize
+    from openslam_g2o_tpu.core import problem as P
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         prob = _load_sphere(jnp.float64)
+        name = next(iter(prob.params))
+        tpu_chi_f64 = None
+        if tpu_solution is not None:
+            sol = {name: jnp.asarray(np.asarray(tpu_solution,
+                                                dtype=np.float64))}
+            tpu_chi_f64 = float(P.chi2(prob.with_params(sol)))
         out, stats = optimize(
             prob, LevenbergMarquardtPCG(pcg_iters=200, pcg_tol=1e-2),
             iterations=n_iters)
-        name = next(iter(out.params))
         # flatness probe for the sphere ATE (same methodology as
         # Manhattan): smallest eigenvalue of the gauge-fixed Hessian at
         # the f64 plateau
@@ -656,7 +832,7 @@ def run_cpu_sphere_f64(n_iters=60):
         lam_min = float(spla.eigsh(Hs, k=1, sigma=0, which="LM",
                                    return_eigenvectors=False)[0])
         return (stats[-1]["chi2"], np.asarray(out.params[name])[:, :3],
-                lam_min)
+                lam_min, tpu_chi_f64)
 
 
 def run_pcg_roofline():
@@ -811,7 +987,8 @@ def main():
     from openslam_g2o_tpu.utils import roofline as RL
 
     _progress("manhattan LM-PCG (timed + converge)")
-    tpu_ips, tpu_chi, est_xy = run_tpu_manhattan()
+    tpu_ips, tpu_chi, est_full = run_tpu_manhattan()
+    est_xy = est_full[:, :2]
     _progress(f"manhattan done: {tpu_ips:.1f} it/s chi {tpu_chi:.3f}")
     pcg_roof = run_pcg_roofline()
     _progress("pcg roofline done")
@@ -821,6 +998,9 @@ def main():
     ba400 = run_tpu_ba(n_cams=900, n_points=50000, obs_per_point=8,
                        pcg_iters=30, pcg_tol=0.05, n_timed=5, n_converge=8)
     _progress(f"ba400k done: {ba400[0]:.2f} it/s")
+    pg100k = run_pose_graph_100k()
+    _progress(f"pose_graph_100k done: {pg100k['lm_iters_per_sec']} it/s "
+              f"gate={'GREEN' if pg100k['converged_to_noise_floor'] else 'RED'}")
     ba80_base, ba80_base_chi = run_cpu_ba_baseline(
         100, 10000, 8, n_iters=3, converge_iters=15)
     _progress(f"cpu ba80k baseline done: {ba80_base:.3f} it/s")
@@ -831,7 +1011,8 @@ def main():
     _progress(f"incremental done: {incr['vertices_per_sec']} v/s")
     marg_s, marg_cam_err, marg_lm_err, marg_trace = run_marginals_80k()
     _progress(f"marginals_80k done: {marg_s:.2f}s")
-    sphere_chi_f32, sphere_t32 = run_tpu_sphere()
+    sphere_chi_f32, sphere_sol = run_tpu_sphere()
+    sphere_t32 = sphere_sol[:, :3]
     _progress(f"sphere f32 done: chi {sphere_chi_f32:.1f}")
     base_ips, base_chi, ref_x, H_min = run_cpu_baseline()
     _progress(f"cpu baseline done: {base_ips:.2f} it/s")
@@ -844,13 +1025,23 @@ def main():
                                return_eigenvectors=False)[0])
     # with chi2 = e^T Omega e and H = J^T Omega J the quadratic model is
     # delta_chi2 ~ d^T H d, so |d| <= sqrt(delta_chi2 / lam_min) (no factor
-    # 2: grad^2(chi2) = 2H but delta_chi2 = (1/2) d^T (2H) d)
-    d_chi = max(tpu_chi - float(base_chi), 1e-6)
+    # 2: grad^2(chi2) = 2H but delta_chi2 = (1/2) d^T (2H) d).
+    # BOTH chi2 values are evaluated in f64 on the host (se2_chi2_f64):
+    # the TPU f32 SOLUTION is re-scored exactly, so f32 chi2
+    # representation/summation no longer inflates d_chi — the bound now
+    # measures the solution's true placement in the basin (round-4
+    # mixed-precision accounting).
+    xm, ii_m, jj_m, meas_m, info_m = _manhattan_arrays()
+    tpu_chi_f64 = se2_chi2_f64(est_full, ii_m, jj_m, meas_m, info_m)
+    ref_chi_f64 = se2_chi2_f64(ref_x, ii_m, jj_m, meas_m, info_m)
+    d_chi = max(tpu_chi_f64 - ref_chi_f64, 1e-9)
     flat_bound = float(np.sqrt(d_chi / lam_min) / np.sqrt(ref_x.shape[0]))
     # sphere f64 reference LAST (flips jax x64 config)
-    sphere_chi_f64, sphere_t64, sphere_lam_min = run_cpu_sphere_f64()
+    (sphere_chi_f64, sphere_t64, sphere_lam_min,
+     sphere_tpu_chi_f64) = run_cpu_sphere_f64(tpu_solution=sphere_sol)
     _progress(f"sphere f64 reference done: chi {sphere_chi_f64:.1f}")
     ate_sphere = float(ate_rmse(sphere_t32, sphere_t64))
+    sphere_d_chi = max(sphere_tpu_chi_f64 - float(sphere_chi_f64), 1e-9)
     converged = tpu_chi < CONVERGED_CHI2 * CHI2_GATE
     report = {
         "metric": "manhattan3500_lm_iters_per_sec",
@@ -869,7 +1060,9 @@ def main():
         "ate_rmse_manhattan_vs_f64": round(ate_manhattan, 5),
         "ate": {
             "manhattan_rmse_vs_f64": round(ate_manhattan, 5),
-            "manhattan_delta_chi2_vs_f64_min": round(d_chi, 5),
+            "tpu_solution_chi2_reevaluated_f64": round(tpu_chi_f64, 6),
+            "cpu_f64_min_chi2": round(ref_chi_f64, 6),
+            "manhattan_delta_chi2_vs_f64_min": round(d_chi, 6),
             "hessian_lambda_min_at_min": lam_min,
             "chi2_flat_ate_bound": round(flat_bound, 4),
             "within_flat_bound": bool(ate_manhattan <= flat_bound),
@@ -880,16 +1073,16 @@ def main():
                     "trajectory tighter",
             "sphere_rmse_vs_f64": round(ate_sphere, 4),
             "sphere_tpu_f32_chi2": round(sphere_chi_f32, 1),
-            "sphere_cpu_f64_chi2": round(float(sphere_chi_f64), 1),
+            "sphere_tpu_solution_chi2_reevaluated_f64": round(
+                sphere_tpu_chi_f64, 3),
+            "sphere_cpu_f64_chi2": round(float(sphere_chi_f64), 3),
             "sphere_hessian_lambda_min": sphere_lam_min,
             "sphere_chi2_flat_ate_bound": round(float(
-                np.sqrt(max(sphere_chi_f32 - float(sphere_chi_f64),
-                            1e-6) / sphere_lam_min)
-                / np.sqrt(sphere_t64.shape[0])), 3),
+                np.sqrt(sphere_d_chi / sphere_lam_min)
+                / np.sqrt(sphere_t64.shape[0])), 4),
             "sphere_within_flat_bound": bool(
-                ate_sphere <= float(np.sqrt(
-                    max(sphere_chi_f32 - float(sphere_chi_f64), 1e-6)
-                    / sphere_lam_min) / np.sqrt(sphere_t64.shape[0]))),
+                ate_sphere <= float(np.sqrt(sphere_d_chi / sphere_lam_min)
+                                    / np.sqrt(sphere_t64.shape[0]))),
         },
         "cpu_baseline_iters_per_sec": round(base_ips, 3),
         "cpu_baseline_converged_chi2": round(float(base_chi), 3),
@@ -903,6 +1096,7 @@ def main():
             note="real venice871.g2o is behind a zero-egress download.sh;"
                  " synthetic generator with the same structure stands in",
         ),
+        "pose_graph_100k": pg100k,
         "incremental": incr,
         "marginals_80k": {
             "seconds": round(marg_s, 3),
@@ -934,6 +1128,10 @@ def main():
             report["ba_400k_venice_scale"]["iters_per_sec"],
         "ba_400k_gate":
             report["ba_400k_venice_scale"]["converged_to_noise_floor"],
+        "pose_graph_100k_iters_per_sec":
+            report["pose_graph_100k"]["lm_iters_per_sec"],
+        "pose_graph_100k_gate":
+            report["pose_graph_100k"]["converged_to_noise_floor"],
         "incremental_vps": report["incremental"]["vertices_per_sec"],
         "incremental_cold_s":
             report["incremental"]["cold_seconds_incl_compile"],

@@ -585,6 +585,12 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
             # elements with a 2*(Dp*Dp+Dp)*E*C-FLOP matmul that rides the
             # systolic array (gather throughput is the phase's cost
             # otherwise; see the cam_onehot field comment)
+            # NOTE precision: under the TPU default this matmul runs in
+            # bf16 passes — fine for the DAMPED solver (LM's rho test
+            # guards step quality; gates stay green), but the UNDAMPED
+            # marginals path needs exact f32 sums, which it gets because
+            # compute_marginals_schur wraps everything (including this
+            # _build call) in default_matmul_precision('highest').
             stream = jnp.concatenate(
                 [Hcc_e.reshape(Dp * Dp, -1), bp_e], axis=0)
             red = stream @ pg.cam_onehot
@@ -960,32 +966,68 @@ def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
 
 
 @partial(jax.jit, static_argnames=("n_iters", "max_trials", "pcg_iters",
-                                   "pcg_tol", "peel"))
+                                   "pcg_tol", "peel", "trial_per_iter"))
 def ba_ell_optimize_fused(prob: Problem, pattern: BAEllPattern, params: dict,
                           lam, ni, chi, n_iters: int = 10,
                           max_trials: int = 10, pcg_iters: int = 100,
-                          pcg_tol: float = 1e-10, peel: bool = True):
+                          pcg_tol: float = 1e-10, peel: bool = True,
+                          trial_per_iter: bool = True):
     """Run n_iters dual-ELL Schur LM iterations as ONE device program
-    (lax.scan over _lm_ba_ell_step) — no host round-trip between
-    iterations. The per-step host dispatch through a remote-tunnel TPU
-    costs ~3.5-4 ms (measured round 4: the 80k-obs trial body is 5.8 ms
-    scan-differenced, the host-driven step 9.3-9.8 ms), so the fused
+    (lax.scan) — no host round-trip between iterations. The per-step host
+    dispatch through a remote-tunnel TPU costs ~2-4 ms, so the fused
     runner is where the serving-path number comes from — the same
     methodology as the pose-graph lm_pcg_optimize_fused.
 
-    Only valid for patterns ba_ell_step would route to the fused while
-    step (no multi-bucket tables — those must stay host-driven, see
-    _wants_host_trials); chunk-scanned patterns must pass peel=False
-    (the on-chip-verified 400k configuration).
+    trial_per_iter=True (default) runs ONE LM trial per scan iteration
+    with no inner while_loop: a rejected trial leaves params unchanged and
+    doubles lambda, so the next iteration re-linearizes the IDENTICAL
+    system and re-tries — the exact trajectory of the reference trial loop
+    (optimization_algorithm_levenberg.cpp:95-142), just unrolled across
+    scan steps. Measured round 4 at the 80k-obs shape: the live (even
+    untaken) trial while_loop costs ~2 ms/step on this toolchain; the
+    loop-free body runs at the scan-differenced trial cost (5.45 vs 7.5
+    ms/iter at n=30). n_iters then counts TRIALS, not accepted steps, and
+    max_trials is not consulted (the budget bounds the retries instead).
+
+    trial_per_iter=False scans the full while-loop step — the
+    configuration for exact iteration accounting; chunk-scanned patterns
+    must use it with peel=False (the on-chip-verified 400k shape). Either
+    way the pattern must not route to host trials (_wants_host_trials).
 
     Returns (params, lam, ni, chi, chi_trajectory [n_iters])."""
+    from openslam_g2o_tpu.core.problem import apply_update_parts
+    from openslam_g2o_tpu.core.solvers import _tree_dot
 
-    def body(carry, _):
-        params, lam, ni, chi = carry
-        params, lam, ni, chi, trials, ok = _lm_ba_ell_step.__wrapped__(
-            prob, pattern, params, lam, ni, chi, max_trials=max_trials,
-            pcg_iters=pcg_iters, pcg_tol=pcg_tol, peel=peel)
-        return (params, lam, ni, chi), chi
+    if trial_per_iter:
+        def body(carry, _):
+            params, lam, ni, chi = carry
+            work = prob.with_params(params)
+            sys = _build(work, pattern, linearize(work))
+            dxT, ok, bT = _solve(work, pattern, sys, lam, pcg_iters,
+                                 pcg_tol=pcg_tol)
+            dx = {k: v.T for k, v in dxT.items()}
+            cand = apply_update_parts(work, dx)
+            chi_new = robust_chi2(work, cand)
+            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            scale = _tree_dot(dxT, jax.tree_util.tree_map(
+                lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
+            rho = (chi - chi_new) / scale
+            accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
+            alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+            good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
+            lam = jnp.where(accept, lam * good, lam * ni)
+            ni = jnp.where(accept, 2.0, ni * 2.0)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), cand, params)
+            chi = jnp.where(accept, chi_new, chi)
+            return (params, lam, ni, chi), chi
+    else:
+        def body(carry, _):
+            params, lam, ni, chi = carry
+            params, lam, ni, chi, trials, ok = _lm_ba_ell_step.__wrapped__(
+                prob, pattern, params, lam, ni, chi, max_trials=max_trials,
+                pcg_iters=pcg_iters, pcg_tol=pcg_tol, peel=peel)
+            return (params, lam, ni, chi), chi
 
     (params, lam, ni, chi), traj = jax.lax.scan(
         body, (params, lam, ni, chi), None, length=n_iters)

@@ -144,6 +144,18 @@ def _pair_tiles(K: int, tile: int = 32):
 
 
 def compute_marginals_schur(problem: Problem, pattern=None):
+    """See _compute_marginals_schur_impl. Runs under
+    default_matmul_precision('highest'): the TPU default lowers every f32
+    matmul/einsum/Cholesky-internal product to bf16 passes, and the
+    UNDAMPED reduced system here sits one pinned gauge away from singular
+    — bf16 noise makes it indefinite and the factorization NaNs
+    (reproduced on-chip round 4; CPU f32 identical math is fine). The
+    covariance path is seconds-scale, so the 3x matmul cost is noise."""
+    with jax.default_matmul_precision("highest"):
+        return _compute_marginals_schur_impl(problem, pattern)
+
+
+def _compute_marginals_schur_impl(problem: Problem, pattern=None):
     """All per-vertex diagonal covariance blocks at BA scale WITHOUT the
     dense H: {group: [N, D, D]}.
 
@@ -215,10 +227,16 @@ def compute_marginals_schur(problem: Problem, pattern=None):
 
     # subtract W Hll^-1 W^T
     if use_dense:
+        # all matmuls at HIGHEST precision: the TPU default (bf16 passes)
+        # leaves ~1e-3 relative noise in S, and the UNDAMPED S here sits
+        # one pinned gauge away from singular — enough to go indefinite
+        # and NaN the Cholesky (observed on-chip, round 4)
+        hi = jax.lax.Precision.HIGHEST
         B2 = sys["B2"]                                   # [Tp, dl*L]
         B2r = B2.reshape(Tp, dl, L)
-        HB2 = jnp.einsum("utl,ctl->cul", Hinv_lane, B2r).reshape(Tp, dl * L)
-        S_corr = B2 @ HB2.T
+        HB2 = jnp.einsum("utl,ctl->cul", Hinv_lane, B2r,
+                         precision=hi).reshape(Tp, dl * L)
+        S_corr = jnp.matmul(B2, HB2.T, precision=hi)
         S = S - 0.5 * (S_corr + S_corr.T)
     else:
         # tiled landmark-major neighbor pairs (beyond-gate shapes)
@@ -260,8 +278,11 @@ def compute_marginals_schur(problem: Problem, pattern=None):
         # M = S^-1 B, then a Tp-contraction per landmark — B's column block
         # for landmark l is nonzero exactly at its observing cameras, so
         # the dense contraction equals the neighbor-pair sum.
-        M = (Sinv @ B2).reshape(Tp, dl, L)
-        corr = jnp.einsum("ctl,cul->ltu", B2r, M)        # [L, dl, dl]
+        M = jnp.matmul(Sinv, B2,
+                       precision=jax.lax.Precision.HIGHEST).reshape(
+            Tp, dl, L)
+        corr = jnp.einsum("ctl,cul->ltu", B2r, M,
+                          precision=jax.lax.Precision.HIGHEST)
     else:
         corr = jnp.zeros((L, dl, dl), dtype=dt)
         for pd in sys["proj"]:

@@ -158,3 +158,35 @@ class TestKChunking:
             np.testing.assert_allclose(np.asarray(out_b[0][k]),
                                        np.asarray(out_flat[0][k]),
                                        rtol=1e-7, atol=1e-9)
+
+
+class TestFusedRunner:
+    def test_trial_per_iter_matches_while_step_trajectory(self):
+        """The loop-free trial-per-iteration fused body must walk the
+        while-loop step's trajectory: a rejected trial re-linearizes the
+        identical system, so accepted states coincide (round-4 design
+        note in ba_ell_optimize_fused)."""
+        import jax.numpy as jnp
+        from tests.test_ba import make_ba_scene
+        from openslam_g2o_tpu.core.ba_ell import (
+            ba_ell_optimize_fused, ba_ell_step)
+        g, _, _ = make_ba_scene(n_cams=6, n_points=40, pixel_noise=0.4)
+        prob = g.compile(dtype=jnp.float64)
+        algo = LevenbergMarquardtSchurELL()
+        pattern = algo.pattern(prob)
+        s0 = algo.init(prob)
+        st = (s0["params"], s0["lam"], s0["ni"], s0["chi2"])
+        # while-loop step, host-driven: count total TRIALS so the two
+        # accountings align
+        st_w = st
+        trials = 0
+        chis_w = []
+        while trials < 12:
+            out = ba_ell_step(prob, pattern, *st_w, pcg_iters=100,
+                              pcg_tol=1e-10)
+            st_w = out[:4]
+            trials += int(out[4])
+            chis_w.append(float(st_w[3]))
+        out_t = ba_ell_optimize_fused(prob, pattern, *st, n_iters=trials,
+                                      pcg_iters=100, pcg_tol=1e-10)
+        assert float(out_t[3]) == pytest.approx(chis_w[-1], rel=1e-8)
