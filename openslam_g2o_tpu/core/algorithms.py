@@ -175,6 +175,80 @@ class LevenbergMarquardt:
 # Levenberg-Marquardt with matrix-free PCG
 # ---------------------------------------------------------------------------
 
+def _pcg_precomp(work, pattern):
+    """Per-linearization quantities of the LM-PCG trial pipeline (shared
+    by the while-loop step and the loop-free trial-per-iteration fused
+    body): assembled K-major ELL values, diagonal blocks, lane-major rhs,
+    hoisted transposed index tables."""
+    from openslam_g2o_tpu.core.sparse import assemble_ell, ell_values_to_kmajor
+
+    lin = linearize(work)
+    values, b = assemble_ell(work, pattern, lin)
+    return {
+        "diag_blocks": pattern.diag_blocks(work, values),
+        "bT": {k: v.T for k, v in b.items()},
+        "eyes": {g.name: jnp.eye(g.tangent_dim, dtype=work.dtype)
+                 for g in work.static.vgroups},
+        "nbT": tuple(pattern.nb_idx[p].T
+                     for p in range(len(pattern.pairs))),
+        "self_maskT": tuple(None if m is None else m.T
+                            for m in pattern.self_mask),
+        "values_k": ell_values_to_kmajor(work, pattern, values),
+    }
+
+
+def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
+               pcg_cheby):
+    """One damped Jacobi-scaled-PCG solve on the precomputed system:
+    the _lm_pcg_step trial pipeline without the LM bookkeeping. Returns
+    (dxT lane-major, ok)."""
+    from openslam_g2o_tpu.core.sparse import (
+        ell_add_diag_kmajor, ell_gershgorin_bound,
+        ell_matvec_lane_kmajor_tiered, ell_scale_jacobi_kmajor,
+        ell_split_tiers_kmajor, lane_block_mv)
+    from openslam_g2o_tpu.core.solvers import (
+        batched_chol_inv_lower, batched_chol_lower, make_chebyshev_precond,
+        pcg_solve)
+
+    diag_blocks, bT, eyes = pre["diag_blocks"], pre["bT"], pre["eyes"]
+    extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
+             for g in work.static.vgroups}
+    damped_k = ell_add_diag_kmajor(work, pattern, pre["values_k"], extra,
+                                   self_maskT=pre["self_maskT"])
+    dblocks = {name: diag_blocks[name]
+               + extra[name][:, None, None] * eyes[name][None]
+               for name in diag_blocks}
+    linv = {name: batched_chol_inv_lower(dblocks[name])
+            for name in dblocks}
+    svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
+                                      nbT=pre["nbT"])
+    tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
+    linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
+                 for name in linv}                     # [D, D, N]
+    bhatT = lane_block_mv(linv_lane, bT)               # Linv b
+    mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
+                                                  xT)
+    if dx0T is not None:
+        lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
+                                    0, -1) for name in dblocks}
+        x0hat = lane_block_mv(lchol, dx0T, transpose=True)   # L^T dx0
+    else:
+        x0hat = None
+    if pcg_cheby > 1:
+        hi = ell_gershgorin_bound(work, pattern, svals_k, kmajor=True)
+        pre_c = make_chebyshev_precond(mv, hi * _CHEBY_LO_FRAC, hi,
+                                       pcg_cheby)
+        xhat, ok = pcg_solve(mv, bhatT, precond=pre_c,
+                             max_iter=max(pcg_iters // pcg_cheby, 1),
+                             tol=pcg_tol, unroll=1, norm="precond",
+                             x0=x0hat)
+    else:
+        xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters,
+                             tol=pcg_tol, unroll=2, norm="precond",
+                             x0=x0hat)
+    return lane_block_mv(linv_lane, xhat, transpose=True), ok
+
+
 @partial(jax.jit, static_argnames=("max_trials", "pcg_iters", "pcg_tol",
                                    "pcg_cheby"))
 def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
@@ -207,30 +281,18 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
     the initial residual, outside the loop).
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
-    from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag_kmajor, ell_gershgorin_bound,
-        ell_matvec_lane_kmajor_tiered, ell_scale_jacobi_kmajor,
-        ell_split_tiers_kmajor, ell_values_to_kmajor, lane_block_mv)
-    from openslam_g2o_tpu.core.solvers import (
-        _tree_dot, batched_chol_inv_lower, batched_chol_lower,
-        make_chebyshev_precond, pcg_solve)
+    from openslam_g2o_tpu.core.solvers import _tree_dot
 
     work = prob.with_params(params)
-    lin = linearize(work)
-    values, b = assemble_ell(work, pattern, lin)
-    diag_blocks = pattern.diag_blocks(work, values)
-    # the PCG hot loop runs entirely lane-major ([D, N] parts): transposes
-    # happen once per trial here, not once per matvec
-    bT = {k: v.T for k, v in b.items()}
-    eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
-            for g in work.static.vgroups}
-    # the whole per-trial pipeline runs K-major ([Dr*Dc, K, N], N on lanes):
-    # value transpose + index/mask transposes happen once per STEP here,
-    # outside the trial and CG loops
-    nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
-    self_maskT = tuple(None if m is None else m.T
-                       for m in pattern.self_mask)
-    values_k = ell_values_to_kmajor(work, pattern, values)
+    # per-linearization precompute: everything lane-/K-major, transposes
+    # hoisted out of the trial and CG loops (_pcg_precomp); per trial,
+    # damping folds into the ELL values and the whole system is
+    # symmetrically scaled by the damped diagonal's inverse Cholesky
+    # factors (split-form block-Jacobi, _pcg_trial). A non-SPD damped
+    # diagonal yields NaN factors -> ok False -> lambda retry, the
+    # reference's failed-factorization semantics.
+    pre = _pcg_precomp(work, pattern)
+    bT = pre["bT"]
 
     def trial_cond(st):
         trials, done, rho = st[0], st[1], st[2]
@@ -239,53 +301,8 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
 
     def trial_body(st):
         trials, done, rho, lam, ni, best_params, best_chi, best_dxT = st
-        # damping (lam on free slots, unit diagonal on fixed) folded into
-        # the ELL values once per trial, then the whole system symmetrically
-        # scaled by the damped diagonal's inverse Cholesky factors
-        # (split-form block-Jacobi): the CG loop runs with NO preconditioner
-        # apply and a single reduction for both the recurrence and the
-        # stopping test. A non-SPD damped diagonal yields NaN factors ->
-        # ok False -> lambda retry, the reference's failed-factorization
-        # semantics.
-        extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
-                 for g in work.static.vgroups}
-        damped_k = ell_add_diag_kmajor(work, pattern, values_k, extra,
-                                       self_maskT=self_maskT)
-        dblocks = {name: diag_blocks[name]
-                   + extra[name][:, None, None] * eyes[name][None]
-                   for name in diag_blocks}
-        linv = {name: batched_chol_inv_lower(dblocks[name])
-                for name in dblocks}
-        svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
-                                          nbT=nbT)
-        # two-tier split: the CG matvec's cost is gather throughput, and
-        # the base+overflow tiers cut gathered elements ~1.5x vs the
-        # uniform max-degree table (EllPattern tier_* docstring)
-        tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
-        linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
-                     for name in linv}                     # [D, D, N]
-        bhatT = lane_block_mv(linv_lane, bT)               # Linv b
-        mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
-                                                      xT)
-        if dx0T is not None:
-            lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
-                                        0, -1) for name in dblocks}
-            x0hat = lane_block_mv(lchol, dx0T, transpose=True)   # L^T dx0
-        else:
-            x0hat = None
-        if pcg_cheby > 1:
-            hi = ell_gershgorin_bound(work, pattern, svals_k, kmajor=True)
-            pre = make_chebyshev_precond(mv, hi * _CHEBY_LO_FRAC, hi,
-                                         pcg_cheby)
-            xhat, ok = pcg_solve(mv, bhatT, precond=pre,
-                                 max_iter=max(pcg_iters // pcg_cheby, 1),
-                                 tol=pcg_tol, unroll=1, norm="precond",
-                                 x0=x0hat)
-        else:
-            xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters,
-                                 tol=pcg_tol, unroll=2, norm="precond",
-                                 x0=x0hat)
-        dxT = lane_block_mv(linv_lane, xhat, transpose=True)     # L^-T xhat
+        dxT, ok = _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters,
+                             pcg_tol, pcg_cheby)
         dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
@@ -405,29 +422,71 @@ class LevenbergMarquardtPCG:
 
 @partial(jax.jit,
          static_argnames=("n_iters", "max_trials", "pcg_iters", "pcg_tol",
-                          "warm", "pcg_cheby"))
+                          "warm", "pcg_cheby", "trial_per_iter"))
 def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
                           chi, n_iters: int = 10, max_trials: int = 10,
                           pcg_iters: int = 75, pcg_tol: float = 1e-8,
-                          warm: bool = False, pcg_cheby: int = 0):
+                          warm: bool = False, pcg_cheby: int = 0,
+                          trial_per_iter: bool = False):
     """Run n_iters LM-PCG iterations as ONE device program (lax.scan) — no
     host round-trip between iterations. The production serving shape: the
     whole optimization is a single XLA executable.
+
+    trial_per_iter=True runs ONE LM trial per scan iteration
+    with no inner while_loop: a rejected trial leaves params unchanged,
+    doubles lambda, and the next iteration re-linearizes the IDENTICAL
+    system — the reference trial loop's exact trajectory
+    (optimization_algorithm_levenberg.cpp:95-142), unrolled across scan
+    steps (n_iters then counts TRIALS). Round-4 on-chip finding: a live
+    trial while_loop costs ~2 ms/step on this toolchain even when it
+    never iterates (see ba_ell_optimize_fused). trial_per_iter=False
+    scans the full while-loop step (exact outer-iteration accounting).
 
     warm=True threads each accepted step's dx into the next step's PCG as a
     warm start — slower per iteration but converges much deeper per step
     near the basin (the polish-phase configuration). Returns
     (params, lam, ni, chi, chi_trajectory [n_iters])."""
+    from openslam_g2o_tpu.core.problem import apply_update_parts
+    from openslam_g2o_tpu.core.solvers import _tree_dot
+
     zerosT = {g.name: jnp.zeros((g.tangent_dim, g.count), prob.dtype)
               for g in prob.static.vgroups}
 
-    def body(carry, _):
-        params, lam, ni, chi, dxT = carry
-        params, lam, ni, chi, trials, ok, dxT_new = _lm_pcg_step.__wrapped__(
-            prob, pattern, params, lam, ni, chi,
-            dx0T=dxT if warm else None, max_trials=max_trials,
-            pcg_iters=pcg_iters, pcg_tol=pcg_tol, pcg_cheby=pcg_cheby)
-        return (params, lam, ni, chi, dxT_new), chi
+    if trial_per_iter:
+        def body(carry, _):
+            params, lam, ni, chi, dxT = carry
+            work = prob.with_params(params)
+            pre = _pcg_precomp(work, pattern)
+            dxT_new, ok = _pcg_trial(work, pattern, pre, lam,
+                                     dxT if warm else None, pcg_iters,
+                                     pcg_tol, pcg_cheby)
+            dx = {k: v.T for k, v in dxT_new.items()}
+            cand = apply_update_parts(work, dx)
+            chi_new = robust_chi2(work, cand)
+            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            scale = _tree_dot(dxT_new, jax.tree_util.tree_map(
+                lambda d, bi: lam * d + bi, dxT_new, pre["bT"])) + 1e-3
+            rho = (chi - chi_new) / scale
+            accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
+            alpha = 1.0 - (2.0 * rho - 1.0) ** 3
+            good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
+            lam = jnp.where(accept, lam * good, lam * ni)
+            ni = jnp.where(accept, 2.0, ni * 2.0)
+            params = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), cand, params)
+            dxT_keep = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(accept, new, old), dxT_new, dxT)
+            chi = jnp.where(accept, chi_new, chi)
+            return (params, lam, ni, chi, dxT_keep), chi
+    else:
+        def body(carry, _):
+            params, lam, ni, chi, dxT = carry
+            (params, lam, ni, chi, trials, ok,
+             dxT_new) = _lm_pcg_step.__wrapped__(
+                prob, pattern, params, lam, ni, chi,
+                dx0T=dxT if warm else None, max_trials=max_trials,
+                pcg_iters=pcg_iters, pcg_tol=pcg_tol, pcg_cheby=pcg_cheby)
+            return (params, lam, ni, chi, dxT_new), chi
 
     (params, lam, ni, chi, _), traj = jax.lax.scan(
         body, (params, lam, ni, chi, zerosT), None, length=n_iters)

@@ -331,3 +331,33 @@ def test_fused_lm_runner_matches_per_step():
         pcg_iters=100, pcg_tol=0.05)
     np.testing.assert_allclose(float(chi_f), float(st[3]), rtol=1e-6)
     assert traj.shape == (5,)
+
+
+def test_fused_trial_per_iter_matches_while_step():
+    """trial_per_iter=True must walk the while-loop step's trajectory:
+    a rejected trial re-linearizes the identical system (round-4 design
+    note in lm_pcg_optimize_fused)."""
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.core.algorithms import (
+        _lambda_init_pcg, _lm_pcg_step, lm_pcg_optimize_fused)
+    from openslam_g2o_tpu.core.sparse import build_ell_pattern
+
+    g, _ = make_se2_chain(n=14, noise=0.2)
+    prob = g.compile(dtype=jnp.float64)
+    pattern = build_ell_pattern(prob)
+    lam = _lambda_init_pcg(prob, pattern, prob.params,
+                           jnp.asarray(1e-5, prob.dtype))
+    st = (prob.params, lam, jnp.asarray(2.0, prob.dtype),
+          P.robust_chi2(prob))
+    # while-loop steps, counting total trials
+    st_w, trials = st, 0
+    while trials < 8:
+        out = _lm_pcg_step(prob, pattern, *st_w, pcg_iters=200,
+                           pcg_tol=1e-12)
+        st_w = out[:4]
+        trials += int(out[4])
+    out_t = lm_pcg_optimize_fused(prob, pattern, *st, n_iters=trials,
+                                  pcg_iters=200, pcg_tol=1e-12,
+                                  trial_per_iter=True)
+    np.testing.assert_allclose(float(out_t[3]), float(st_w[3]), rtol=1e-9,
+                               atol=1e-20)
