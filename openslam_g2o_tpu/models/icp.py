@@ -72,3 +72,36 @@ EDGE_V_V_GICP_PLANE = register_edge_type(EdgeType(
     measurement_dim=12,
     error=_gicp_plane_error,
 ))
+
+
+def _gicp_cam_error(vparams, meas, pdata):
+    """GICP edge between stereo-camera vertices: the reference's
+    gicp_sba_demo adds Edge_V_V_GICP between VertexSCam nodes (VertexSCam
+    derives from VertexSE3, gicp_sba_demo.cpp:173-230); here the `cam`
+    vertex carries [pose(7), intrinsics(5)] and the GICP residual reads
+    the pose part."""
+    return _gicp_error((vparams[0][:7], vparams[1][:7]), meas, pdata)
+
+
+def _gicp_plane_cam_error(vparams, meas, pdata):
+    r = _gicp_cam_error(vparams, meas, pdata)
+    return _plane_sqrt_info(meas[3:6]) @ r
+
+
+EDGE_V_V_GICP_CAM = register_edge_type(EdgeType(
+    name="edge_gicp_cam",
+    tag="EDGE_V_V_GICP_CAM",
+    vertex_types=("cam", "cam"),
+    error_dim=3,
+    measurement_dim=12,
+    error=_gicp_cam_error,
+))
+
+EDGE_V_V_GICP_PLANE_CAM = register_edge_type(EdgeType(
+    name="edge_gicp_plane_cam",
+    tag="EDGE_V_V_GICP_PLANE_CAM",
+    vertex_types=("cam", "cam"),
+    error_dim=3,
+    measurement_dim=12,
+    error=_gicp_plane_cam_error,
+))

@@ -79,3 +79,12 @@ def test_frontend_slam_example():
     import examples.frontend_slam as ex
     out = ex.main(["--frames", "16"])
     assert out["ate_rmse"] <= out["ate_rmse_odometry_only"]
+
+
+def test_gicp_sba_hybrid_example():
+    """The GICP+SBA hybrid workload (gicp_sba_demo.cpp): same camera
+    vertices constrained by plane-GICP point matches AND stereo landmark
+    projections; success = data-supported optimality (chi2 at the true
+    configuration) since the scene has a flat x/rot-y direction."""
+    import examples.gicp_sba_demo as ex
+    assert ex.main(num_points=25)
