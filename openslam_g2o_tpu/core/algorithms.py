@@ -204,8 +204,8 @@ def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
     (dxT lane-major, ok)."""
     from openslam_g2o_tpu.core.sparse import (
         ell_add_diag_kmajor, ell_gershgorin_bound,
-        ell_matvec_lane_kmajor_tiered, ell_scale_jacobi_kmajor,
-        ell_split_tiers_kmajor, lane_block_mv)
+        ell_matvec_lane_kmajor_hot, ell_scale_jacobi_kmajor,
+        ell_split_hot_kmajor, lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         batched_chol_inv_lower, batched_chol_lower, make_chebyshev_precond,
         pcg_solve)
@@ -222,12 +222,11 @@ def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
             for name in dblocks}
     svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
                                       nbT=pre["nbT"])
-    tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
+    split = ell_split_hot_kmajor(work, pattern, svals_k)
     linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
                  for name in linv}                     # [D, D, N]
     bhatT = lane_block_mv(linv_lane, bT)               # Linv b
-    mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
-                                                  xT)
+    mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split, xT)
     if dx0T is not None:
         lchol = {name: jnp.moveaxis(batched_chol_lower(dblocks[name]),
                                     0, -1) for name in dblocks}
@@ -595,8 +594,8 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag_kmajor, ell_matvec_lane_kmajor_tiered,
-        ell_scale_jacobi_kmajor, ell_split_tiers_kmajor, ell_values_to_kmajor,
+        assemble_ell, ell_add_diag_kmajor, ell_matvec_lane_kmajor_hot,
+        ell_scale_jacobi_kmajor, ell_split_hot_kmajor, ell_values_to_kmajor,
         lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         _tree_dot, batched_chol_inv_lower, pcg_solve)
@@ -619,8 +618,8 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     extra0 = {g.name: 1.0 - work.free[g.name] for g in work.static.vgroups}
     vals0_k = ell_add_diag_kmajor(work, pattern, values_k, extra0,
                                   self_maskT=self_maskT)
-    tiers0 = ell_split_tiers_kmajor(work, pattern, vals0_k)
-    mv0 = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers0, xT)
+    split0 = ell_split_hot_kmajor(work, pattern, vals0_k)
+    mv0 = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split0, xT)
 
     hbT = mv0(bT)
     b_dot_b = _tree_dot(bT, bT)
@@ -643,9 +642,9 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
                 for name in dblocks}
         svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
                                           nbT=nbT)
-        tiers = ell_split_tiers_kmajor(work, pattern, svals_k)
-        mv = lambda xT: ell_matvec_lane_kmajor_tiered(work, pattern, tiers,
-                                                      xT)
+        split = ell_split_hot_kmajor(work, pattern, svals_k)
+        mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split,
+                                                   xT)
         linv_lane = {name: jnp.moveaxis(linv[name], 0, -1) for name in linv}
         bhatT = lane_block_mv(linv_lane, bT)
         xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters, tol=pcg_tol,

@@ -49,6 +49,12 @@ __all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec",
 # dest-major table; bundled pose graphs are orders of magnitude below this).
 _CONTRIB_TABLE_LIMIT = 50_000_000
 
+# DIA split knobs (EllPattern dia_* docstring): at most this many band
+# offsets; an offset qualifies when it appears on at least this fraction
+# of rows (a sparser diagonal wastes dense multiplies on zeros).
+_DIA_MAX_OFFSETS = 8
+_DIA_MIN_ROW_FRAC = 0.2
+
 
 def bmm_small(A, B):
     """Batched matmul for small trailing dims via elementwise multiply +
@@ -65,9 +71,11 @@ def bmv_small(A, v):
 @partial(jax.tree_util.register_dataclass,
          data_fields=["nb_idx", "positions", "contrib_idx", "contrib_mask",
                       "b_idx", "b_mask", "self_mask", "tier_rows",
-                      "tier_lo_nbT", "tier_hi_nbT"],
+                      "tier_lo_nbT", "tier_hi_nbT", "dia_src", "dia_mask",
+                      "res_srcT", "res_nbT", "res_maskT", "contrib_base",
+                      "b_base"],
          meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
-                      "b_sources", "tier_kb"])
+                      "b_sources", "tier_kb", "dia_offsets", "res_k"])
 @dataclass
 class EllPattern:
     """Static-topology ELL pattern for the whole block Hessian.
@@ -96,6 +104,19 @@ class EllPattern:
         rows with degree > Kb; tier_lo_nbT = [Kb, N] / tier_hi_nbT =
         [K-Kb, N_hi] transposed neighbor tables. None/K when a single tier
         is already optimal.
+    dia_*: DIA (diagonal-band) split — the round-4 answer to the same
+        gather-throughput limit. On chain/grid/serpentine graphs most
+        neighbor slots sit at a few CONSTANT index offsets (odometry i+-1,
+        inter-sweep closures i+-sweep, the self diagonal 0); for those the
+        matvec's x-gather becomes a static SHIFT (dense pad+slice at
+        VPU/HBM speed, zero gather cost). dia_offsets[pid] = tuple of
+        selected static offsets (None -> pair stays on the tier path);
+        dia_src/dia_mask = [m, N] source-slot tables re-laying values_k
+        into offset-major form once per trial; res_srcT/res_nbT/res_maskT
+        = [K_res, N] compacted tables of the slots NOT covered by any
+        selected offset (the only gathers left in the hot loop);
+        res_k[pid] = K_res. Selection + activation are host-side cost
+        decisions (build_ell_pattern).
     """
     nb_idx: tuple
     positions: dict
@@ -107,6 +128,13 @@ class EllPattern:
     tier_rows: tuple
     tier_lo_nbT: tuple
     tier_hi_nbT: tuple
+    dia_src: tuple
+    dia_mask: tuple
+    res_srcT: tuple
+    res_nbT: tuple
+    res_maskT: tuple
+    contrib_base: tuple
+    b_base: dict
     pairs: tuple
     K: tuple
     pair_of: tuple
@@ -114,6 +142,8 @@ class EllPattern:
     b_m: dict
     b_sources: dict
     tier_kb: tuple
+    dia_offsets: tuple
+    res_k: tuple
 
     def pair_table(self, key):
         return dict(self.pair_of)[key]
@@ -148,7 +178,13 @@ class EllPattern:
 
 def _contrib_tables(dest, n_dest, stream_idx=None):
     """Sorted contributor ELL: [n_dest, M] indices into the contribution
-    stream + mask. None if the table would exceed the size limit.
+    stream + mask, PLUS the base+overflow form — base_idx/base_mask
+    [n_dest] holding each slot's FIRST contribution and (ov_dest, ov_src)
+    flat lists of the rest (round 4: the uniform [n_dest, M] gather wastes
+    ~Mx gather throughput when most slots hold one contribution; the base
+    form gathers one element per slot and scatter-ADDS the small overflow
+    once per trial, outside every hot loop). None if the table would
+    exceed the size limit.
 
     stream_idx: optional [len(dest)] positions of these contributions in
     the FULL per-edge stream (used when invalid/padding edges were dropped
@@ -156,7 +192,7 @@ def _contrib_tables(dest, n_dest, stream_idx=None):
     counts = np.bincount(dest, minlength=n_dest)
     M = max(int(counts.max()) if len(dest) else 1, 1)
     if n_dest * M > _CONTRIB_TABLE_LIMIT:
-        return None, None, M
+        return None, None, M, None
     order = np.argsort(dest, kind="stable").astype(np.int64)
     tbl = np.zeros((n_dest, M), dtype=np.int32)
     mask = np.zeros((n_dest, M), dtype=np.float32)
@@ -167,7 +203,14 @@ def _contrib_tables(dest, n_dest, stream_idx=None):
     src = order if stream_idx is None else stream_idx[order]
     tbl[dest[order], col] = src.astype(np.int32)
     mask[dest[order], col] = 1.0
-    return tbl, mask, M
+    base = (jnp.asarray(tbl[:, 0]), jnp.asarray(mask[:, 0]))
+    first = col == 0
+    if first.all():
+        ov = None
+    else:
+        ov = (jnp.asarray(dest[order][~first].astype(np.int32)),
+              jnp.asarray(src[~first].astype(np.int32)))
+    return tbl, mask, M, (base, ov)
 
 
 def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
@@ -224,6 +267,14 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     tier_lo_l = []
     tier_hi_l = []
     tier_kb_l = []
+    dia_src_l = []
+    dia_mask_l = []
+    res_srcT_l = []
+    res_nbT_l = []
+    res_maskT_l = []
+    dia_offsets_l = []
+    res_k_l = []
+    contrib_base_l = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -277,6 +328,60 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
         tier_hi_l.append(None if hi_nbT is None else jnp.asarray(hi_nbT))
         tier_kb_l.append(tier_kb_val)
 
+        # DIA (diagonal-band) split: pick constant index offsets covering
+        # enough slots that shifting beats gathering (EllPattern dia_*
+        # docstring). Cost model: a residual gather slot costs ~1 gathered
+        # element per row; a dia slot ~0.15 (dense multiply at bandwidth).
+        valid_slots = np.arange(K)[None, :] < counts[:, None]     # [N, K]
+        offs = tbl.astype(np.int64) - np.arange(rg.count)[:, None]
+        d_sel, d_src, d_mask, r_srcT, r_nbT, r_maskT, r_k = (
+            None, None, None, None, None, None, 0)
+        offs_flat = offs[valid_slots]
+        if len(offs_flat):
+            vals_u, cnts_u = np.unique(offs_flat, return_counts=True)
+            order = np.argsort(-cnts_u)
+            sel = [int(vals_u[i]) for i in order[:_DIA_MAX_OFFSETS]
+                   if cnts_u[i] >= _DIA_MIN_ROW_FRAC * rg.count]
+            if sel:
+                is_cov = valid_slots & np.isin(offs, np.asarray(sel))
+                res_counts = (valid_slots & ~is_cov).sum(axis=1)
+                res_K = int(res_counts.max()) if len(res_counts) else 0
+                tier_cost = (rg.count * tier_kb_val
+                             + (0 if rows_hi is None
+                                else len(rows_hi) * (K - tier_kb_val)))
+                dia_cost = rg.count * (res_K + 0.15 * len(sel))
+                if dia_cost < 0.7 * tier_cost:
+                    m = len(sel)
+                    d_src = np.zeros((m, rg.count), dtype=np.int32)
+                    d_mask = np.zeros((m, rg.count), dtype=np.float32)
+                    for j, d in enumerate(sel):
+                        hit = valid_slots & (offs == d)
+                        has = hit.any(axis=1)
+                        d_src[j, has] = np.argmax(hit, axis=1)[has]
+                        d_mask[j, has] = 1.0
+                    r_k = res_K
+                    if res_K:
+                        rr, kk = np.nonzero(valid_slots & ~is_cov)
+                        starts_r = np.zeros(rg.count + 1, dtype=np.int64)
+                        np.cumsum(np.bincount(rr, minlength=rg.count),
+                                  out=starts_r[1:])
+                        col = np.arange(len(rr)) - starts_r[rr]
+                        r_srcT = np.zeros((res_K, rg.count), dtype=np.int32)
+                        r_nbT = np.zeros((res_K, rg.count), dtype=np.int32)
+                        r_maskT = np.zeros((res_K, rg.count),
+                                           dtype=np.float32)
+                        r_srcT[col, rr] = kk
+                        r_nbT[col, rr] = tbl[rr, kk]
+                        r_maskT[col, rr] = 1.0
+                    d_sel = tuple(sel)
+        dia_src_l.append(None if d_src is None else jnp.asarray(d_src))
+        dia_mask_l.append(None if d_mask is None else jnp.asarray(d_mask))
+        res_srcT_l.append(None if r_srcT is None else jnp.asarray(r_srcT))
+        res_nbT_l.append(None if r_nbT is None else jnp.asarray(r_nbT))
+        res_maskT_l.append(None if r_maskT is None else jnp.asarray(r_maskT))
+        dia_offsets_l.append(d_sel)
+        res_k_l.append(r_k)
+
         pos_all = np.zeros(len(all_rows), dtype=np.int64)
         pos_all[vmask] = slot_of_unique[inverse_v]
         off = 0
@@ -286,17 +391,19 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                 pos_all[off:off + n].astype(np.int32))
             off += n
         dest = (all_rows * K + pos_all).astype(np.int64)
-        ci, cm, M = _contrib_tables(
+        ci, cm, M, cb = _contrib_tables(
             dest[vmask], rg.count * K,
             stream_idx=np.nonzero(vmask)[0] if not vmask.all() else None)
         contrib_idx.append(None if ci is None else jnp.asarray(ci))
         contrib_mask.append(None if cm is None else jnp.asarray(cm))
         contrib_m.append(M)
+        contrib_base_l.append(cb)
 
     # b contributor tables, one stream per vertex group
     b_idx = {}
     b_mask = {}
     b_m = {}
+    b_base = {}
     b_sources = {}
     streams: dict = {}
     for eg in problem.static.egroups:
@@ -312,6 +419,7 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
             b_idx[g.name] = None
             b_mask[g.name] = None
             b_m[g.name] = 1
+            b_base[g.name] = None
             continue
         dest = np.concatenate([rows for _, _, rows in src])
         if edge_valid is None:
@@ -321,19 +429,24 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                 np.asarray(edge_valid[k], dtype=bool) if k in edge_valid
                 else np.ones(len(rows), dtype=bool)
                 for k, _, rows in src])
-        ci, cm, M = _contrib_tables(
+        ci, cm, M, bb = _contrib_tables(
             dest[bvmask], g.count,
             stream_idx=np.nonzero(bvmask)[0] if not bvmask.all() else None)
         b_idx[g.name] = None if ci is None else jnp.asarray(ci)
         b_mask[g.name] = None if cm is None else jnp.asarray(cm)
         b_m[g.name] = M
+        b_base[g.name] = bb
 
     return EllPattern(tuple(nb_idx), positions,
                       tuple(contrib_idx), tuple(contrib_mask), b_idx, b_mask,
                       tuple(self_masks),
                       tuple(tier_rows_l), tuple(tier_lo_l), tuple(tier_hi_l),
+                      tuple(dia_src_l), tuple(dia_mask_l), tuple(res_srcT_l),
+                      tuple(res_nbT_l), tuple(res_maskT_l),
+                      tuple(contrib_base_l), b_base,
                       tuple(pair_names), tuple(Ks), tuple(pair_of),
-                      tuple(contrib_m), b_m, b_sources, tuple(tier_kb_l))
+                      tuple(contrib_m), b_m, b_sources, tuple(tier_kb_l),
+                      tuple(dia_offsets_l), tuple(res_k_l))
 
 
 def _edge_blocks(problem, lin):
@@ -372,7 +485,20 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
         cg = problem.static.vgroup(cg_name)
         Dr, Dc = rg.tangent_dim, cg.tangent_dim
         srcs = [key for key, p in pattern.pair_of if p == pid]
-        if pattern.contrib_idx[pid] is not None:
+        if (pattern.contrib_base[pid] is not None
+                and pattern.contrib_base[pid][1] is None):
+            # single-contribution-per-slot fast path (round 4): one
+            # gathered element per slot instead of the [N*K, M] table.
+            # NOTE a scatter-ADD overflow variant was measured SLOWER than
+            # the M-wide gather at the 100k shape (18.9 vs 15.0 ms —
+            # TPU scatters lose again), so multi-contribution patterns
+            # stay on the proven gather table below.
+            (bidx, bmask), _ = pattern.contrib_base[pid]
+            stream = jnp.concatenate(
+                [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
+            v = jnp.take(stream, bidx, axis=1) * bmask.astype(dt)[None]
+            values.append(v.reshape(Dr * Dc, rg.count, K))
+        elif pattern.contrib_idx[pid] is not None:
             # lane-major contribution stream [Dr*Dc, E_total]
             stream = jnp.concatenate(
                 [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
@@ -397,7 +523,13 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
         if not srcs:
             b[g.name] = jnp.zeros((g.count, D), dtype=dt)
             continue
-        if pattern.b_idx[g.name] is not None:
+        if (pattern.b_base.get(g.name) is not None
+                and pattern.b_base[g.name][1] is None):
+            (bidx, bmask), _ = pattern.b_base[g.name]
+            stream = jnp.concatenate([bvecs[key].T for key in srcs], axis=1)
+            bsum = jnp.take(stream, bidx, axis=1) * bmask.astype(dt)[None]
+            b[g.name] = bsum.T
+        elif pattern.b_idx[g.name] is not None:
             stream = jnp.concatenate([bvecs[key].T for key in srcs], axis=1)
             gt = jnp.take(stream, pattern.b_idx[g.name].reshape(-1), axis=1)
             gt = gt.reshape(D, g.count, pattern.b_m[g.name])
@@ -678,6 +810,104 @@ def ell_matvec_lane_kmajor_tiered(problem, pattern: EllPattern, tiers,
             yT[rg_name] = yT[rg_name] + (
                 V * xg.reshape(Dc, -1, rg.count)[None]).sum(axis=(1, 2))
             continue
+        idx_lo = pattern.tier_lo_nbT[pid]
+        xg = jnp.take(xT[cg_name], idx_lo.reshape(-1), axis=1)
+        V = lo.reshape(Dr, Dc, kb, rg.count)
+        yT[rg_name] = yT[rg_name] + (
+            V * xg.reshape(Dc, kb, rg.count)[None]).sum(axis=(1, 2))
+        rows = pattern.tier_rows[pid]
+        idx_hi = pattern.tier_hi_nbT[pid]
+        n_hi = idx_hi.shape[1]
+        xg_hi = jnp.take(xT[cg_name], idx_hi.reshape(-1), axis=1)
+        Vh = hi.reshape(Dr, Dc, -1, n_hi)
+        y_hi = (Vh * xg_hi.reshape(Dc, -1, n_hi)[None]).sum(axis=(1, 2))
+        yT[rg_name] = yT[rg_name].at[:, rows].add(y_hi)
+    return yT
+
+
+def ell_split_hot_kmajor(problem, pattern: EllPattern, values_k):
+    """Per-trial split of the K-major value tables into the hot-loop
+    operands, choosing per pair between the DIA band form and the
+    base+overflow tier form (host decision recorded in pattern.dia_offsets).
+
+    Returns a tuple of per-pair entries:
+      ("dia", V_dia [Dr*Dc, m, N], V_res [Dr*Dc, K_res, N] or None)
+      ("tier", lo, hi)   — the ell_split_tiers_kmajor operands
+    """
+    out = []
+    for pid in range(len(pattern.pairs)):
+        v = values_k[pid]
+        if pattern.dia_offsets[pid] is not None:
+            src = pattern.dia_src[pid]
+            Vd = jnp.take_along_axis(v, src[None], axis=1) \
+                * pattern.dia_mask[pid][None].astype(v.dtype)
+            Vr = None
+            if pattern.res_k[pid]:
+                Vr = jnp.take_along_axis(v, pattern.res_srcT[pid][None],
+                                         axis=1) \
+                    * pattern.res_maskT[pid][None].astype(v.dtype)
+            out.append(("dia", Vd, Vr))
+            continue
+        kb = pattern.tier_kb[pid]
+        rows = pattern.tier_rows[pid]
+        if rows is None:
+            out.append(("tier", v, None))
+        else:
+            out.append(("tier", v[:, :kb, :],
+                        jnp.take(v[:, kb:, :], rows, axis=2)))
+    return tuple(out)
+
+
+def _shift_stack(x, offsets, n_rows):
+    """[Dc, m, n_rows] stack of statically-shifted copies of x [Dc, N_c]:
+    entry (j, i) = x[:, i + offsets[j]] (zero outside range). Pure
+    pad+slice — no gathers."""
+    n_cols = x.shape[1]
+    cols = []
+    for d in offsets:
+        lo = max(0, -d)
+        hi = min(n_rows, n_cols - d)
+        if hi <= lo:
+            cols.append(jnp.zeros((x.shape[0], n_rows), dtype=x.dtype))
+            continue
+        sl = jax.lax.slice_in_dim(x, lo + d, hi + d, axis=1)
+        cols.append(jnp.pad(sl, ((0, 0), (lo, n_rows - hi))))
+    return jnp.stack(cols, axis=1)
+
+
+def ell_matvec_lane_kmajor_hot(problem, pattern: EllPattern, split, xT: dict):
+    """y = H x on ell_split_hot_kmajor operands: DIA pairs consume
+    SHIFTED dense copies of x (zero gather cost — the matvec's governing
+    limit is gather throughput, ~0.4 ns/element on a v5e) plus a small
+    residual gather; tier pairs run the proven base+overflow gathers."""
+    yT = {g.name: jnp.zeros((g.tangent_dim, g.count), dtype=problem.dtype)
+          for g in problem.static.vgroups}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        kind, a, b = split[pid]
+        if kind == "dia":
+            xs = _shift_stack(xT[cg_name], pattern.dia_offsets[pid],
+                              rg.count)                   # [Dc, m, N]
+            V = a.reshape(Dr, Dc, -1, rg.count)
+            yT[rg_name] = yT[rg_name] + (V * xs[None]).sum(axis=(1, 2))
+            if b is not None:
+                idx = pattern.res_nbT[pid]
+                xg = jnp.take(xT[cg_name], idx.reshape(-1), axis=1)
+                Vr = b.reshape(Dr, Dc, -1, rg.count)
+                yT[rg_name] = yT[rg_name] + (
+                    Vr * xg.reshape(Dc, -1, rg.count)[None]).sum(axis=(1, 2))
+            continue
+        lo, hi = a, b
+        if hi is None:
+            idx = pattern.nb_idx[pid].T
+            xg = jnp.take(xT[cg_name], idx.reshape(-1), axis=1)
+            V = lo.reshape(Dr, Dc, -1, rg.count)
+            yT[rg_name] = yT[rg_name] + (
+                V * xg.reshape(Dc, -1, rg.count)[None]).sum(axis=(1, 2))
+            continue
+        kb = pattern.tier_kb[pid]
         idx_lo = pattern.tier_lo_nbT[pid]
         xg = jnp.take(xT[cg_name], idx_lo.reshape(-1), axis=1)
         V = lo.reshape(Dr, Dc, kb, rg.count)

@@ -121,7 +121,18 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         tier_rows=tuple(None for _ in pattern.tier_rows),
         tier_lo_nbT=tuple(None for _ in pattern.tier_lo_nbT),
         tier_hi_nbT=tuple(None for _ in pattern.tier_hi_nbT),
-        tier_kb=tuple(pattern.K))
+        tier_kb=tuple(pattern.K),
+        # DIA band split likewise unused here (the row-partitioned matvec
+        # gathers from the replicated x directly)
+        dia_src=tuple(None for _ in pattern.dia_src),
+        dia_mask=tuple(None for _ in pattern.dia_mask),
+        res_srcT=tuple(None for _ in pattern.res_srcT),
+        res_nbT=tuple(None for _ in pattern.res_nbT),
+        res_maskT=tuple(None for _ in pattern.res_maskT),
+        dia_offsets=tuple(None for _ in pattern.dia_offsets),
+        res_k=tuple(0 for _ in pattern.res_k),
+        contrib_base=tuple(None for _ in pattern.contrib_base),
+        b_base={k: None for k in pattern.b_base})
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes

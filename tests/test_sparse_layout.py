@@ -48,15 +48,27 @@ class TestLaneMajorEll:
             pattern,
             contrib_idx=tuple(None for _ in pattern.contrib_idx),
             contrib_mask=tuple(None for _ in pattern.contrib_mask),
+            contrib_base=tuple(None for _ in pattern.contrib_base),
             b_idx={k: None for k in pattern.b_idx},
-            b_mask={k: None for k in pattern.b_mask})
+            b_mask={k: None for k in pattern.b_mask},
+            b_base={k: None for k in pattern.b_base})
         v_slow, b_slow = assemble_ell(prob, fallback, lin)
-        for a, b in zip(v_fast, v_slow):
+        # and the uniform [N*K, M] gather table route (base+overflow off)
+        gather_m = dataclasses.replace(
+            pattern,
+            contrib_base=tuple(None for _ in pattern.contrib_base),
+            b_base={k: None for k in pattern.b_base})
+        v_tbl, b_tbl = assemble_ell(prob, gather_m, lin)
+        for a, b, c in zip(v_fast, v_slow, v_tbl):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-12)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        atol=1e-12)
         for k in b_fast:
             np.testing.assert_allclose(np.asarray(b_fast[k]),
                                        np.asarray(b_slow[k]), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(b_fast[k]),
+                                       np.asarray(b_tbl[k]), atol=1e-12)
 
     def test_matvec_and_b_match_dense_system(self):
         prob = _problem()
@@ -269,3 +281,71 @@ class TestKMajorMatvec:
         lmax = float(_tree_dot(x, ell_matvec_lane(prob, pattern, values, x))
                      / _tree_dot(x, x))
         assert hi >= lmax > 0
+
+
+class TestDiaSplit:
+    def test_dia_activates_on_serpentine_and_matches_plain_matvec(self):
+        """On the serpentine 100k-generator shape (odometry +-1, closure
+        +-sweep, self 0) the DIA band split must activate and reproduce
+        the plain K-major matvec exactly."""
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+        from openslam_g2o_tpu.core.problem import linearize
+        from openslam_g2o_tpu.core.sparse import (
+            assemble_ell, build_ell_pattern, ell_matvec_lane_kmajor,
+            ell_matvec_lane_kmajor_hot, ell_split_hot_kmajor,
+            ell_values_to_kmajor)
+
+        prob, _ = synthetic_pose_graph_2d(n_poses=1500, grid=15,
+                                          dtype=jnp.float64)
+        pattern = build_ell_pattern(prob)
+        assert pattern.dia_offsets[0] is not None
+        assert 0 in pattern.dia_offsets[0]
+        assert 1 in pattern.dia_offsets[0] and -1 in pattern.dia_offsets[0]
+        values, _ = assemble_ell(prob, pattern, linearize(prob))
+        vk = ell_values_to_kmajor(prob, pattern, values)
+        rng = np.random.default_rng(3)
+        xT = {g.name: jnp.asarray(rng.normal(size=(g.tangent_dim, g.count)))
+              for g in prob.static.vgroups}
+        y_plain = ell_matvec_lane_kmajor(prob, pattern, vk, xT)
+        split = ell_split_hot_kmajor(prob, pattern, vk)
+        y_hot = ell_matvec_lane_kmajor_hot(prob, pattern, split, xT)
+        for k in y_plain:
+            np.testing.assert_allclose(np.asarray(y_hot[k]),
+                                       np.asarray(y_plain[k]),
+                                       rtol=1e-12, atol=1e-12)
+
+    def test_hot_matvec_matches_on_irregular_graph(self):
+        """Random-topology graph (DIA may or may not activate): the hot
+        dispatcher must agree with the plain matvec either way."""
+        import jax.numpy as jnp
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.core.problem import linearize
+        from openslam_g2o_tpu.core.sparse import (
+            assemble_ell, build_ell_pattern, ell_matvec_lane_kmajor,
+            ell_matvec_lane_kmajor_hot, ell_split_hot_kmajor,
+            ell_values_to_kmajor)
+
+        g, _ = make_se2_chain(n=40, noise=0.1)
+        # extra irregular closures
+        rng = np.random.default_rng(5)
+        info = np.diag([50.0, 50.0, 90.0])
+        for _ in range(25):
+            i, j = sorted(rng.integers(0, 40, 2).tolist())
+            if i == j:
+                continue
+            g.add_edge("edge_se2", (i, j), np.zeros(3), info)
+        prob = g.compile(dtype=jnp.float64)
+        pattern = build_ell_pattern(prob)
+        values, _ = assemble_ell(prob, pattern, linearize(prob))
+        vk = ell_values_to_kmajor(prob, pattern, values)
+        xT = {gr.name: jnp.asarray(
+            rng.normal(size=(gr.tangent_dim, gr.count)))
+            for gr in prob.static.vgroups}
+        y_plain = ell_matvec_lane_kmajor(prob, pattern, vk, xT)
+        split = ell_split_hot_kmajor(prob, pattern, vk)
+        y_hot = ell_matvec_lane_kmajor_hot(prob, pattern, split, xT)
+        for k in y_plain:
+            np.testing.assert_allclose(np.asarray(y_hot[k]),
+                                       np.asarray(y_plain[k]),
+                                       rtol=1e-12, atol=1e-12)
