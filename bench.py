@@ -617,27 +617,32 @@ def run_pose_graph_100k():
     # 1698 -> 35 us/iteration, 48.6x, at its HBM bound)
     from openslam_g2o_tpu.core.problem import linearize
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_matvec_lane_kmajor_hot, ell_split_hot_kmajor,
-        ell_values_to_kmajor)
+        assemble_hot, ell_matvec_lane_kmajor_hot, hot_split)
     from openslam_g2o_tpu.core.solvers import pcg_solve
     work = prob.with_params(st[0])
     lin = linearize(work)
-    values, b = assemble_ell(work, pattern, lin)
-    vk = ell_values_to_kmajor(work, pattern, values)
+    hot, b = assemble_hot(work, pattern, lin)
     bT = {k: v.T for k, v in b.items()}
 
+    # the hot entries carry static "dia"/"k" tags — close over them (they
+    # are produced and consumed inside one traced region on the real path)
+    hot_vals = tuple(v for e in hot for v in e[1:] if v is not None)
+
     def solve_n(n):
-        def f(vk, bT):
-            ops = ell_split_hot_kmajor(work, pattern, vk)
+        def f(hot_vals, bT):
+            it = iter(hot_vals)
+            ops = tuple((e[0], next(it), None if e[2] is None else next(it))
+                        for e in hot)
+            ops = hot_split(work, pattern, ops)
             mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, ops,
                                                        xT)
             return pcg_solve(mv, bT, max_iter=n, tol=0.0, unroll=2)
         jf = jax.jit(f)
-        out = jf(vk, bT)
+        out = jf(hot_vals, bT)
         jax.block_until_ready(out)
         t0 = time.monotonic()
         for _ in range(5):
-            out = jf(vk, bT)
+            out = jf(hot_vals, bT)
         jax.block_until_ready(out)
         return (time.monotonic() - t0) / 5
 
@@ -710,12 +715,20 @@ def run_marginals_80k():
         s = BE._build(p, pattern, linearize(p))
         return s["Hll"], s["groups"][cg.name]["Hcc"]
 
-    Hll, Hcc = jax.jit(build_parts)(prob)
-    lin = jax.jit(linearize)(prob)
-    pg = pattern.proj[0]
+    # the reference INPUTS must run at HIGHEST matmul precision: at TPU
+    # default every f32 matmul lowers to bf16 passes, and cond(S) ~ 1e9
+    # amplifies that ~1e-3 input noise to O(1) covariance error — round 4
+    # shipped exactly that as a phantom 185% "spot-check failure" (the
+    # route under test ran at highest precision, the check's own inputs
+    # did not; round-5 on-chip bisect: err 1.855 -> 6e-3 on this fix
+    # alone, CPU identical math 1.3e-3)
     from openslam_g2o_tpu.core.marginals import _gather_w_flat
-    W_lm = np.asarray(_gather_w_flat(prob, lin, pg),
-                      dtype=np.float64)                 # [L, K, Dp, dl]
+    pg = pattern.proj[0]
+    with jax.default_matmul_precision("highest"):
+        Hll, Hcc = jax.jit(build_parts)(prob)
+        lin = jax.jit(linearize)(prob)
+        W_lm = np.asarray(_gather_w_flat(prob, lin, pg),
+                          dtype=np.float64)             # [L, K, Dp, dl]
     free_l = np.asarray(prob.free[lg.name], dtype=np.float64)
     Hll_np = np.moveaxis(np.asarray(Hll, dtype=np.float64), -1, 0)
     Hll_np += (1.0 - free_l)[:, None, None] * np.eye(dl)
@@ -901,13 +914,18 @@ def run_incremental():
     from openslam_g2o_tpu.core.online import OnlineOptimizer
     from openslam_g2o_tpu.core.algorithms import LevenbergMarquardtPCG
 
-    # measure a GENUINE first-ever cold start: drop this machine's
-    # persistent compile cache for the online programs before the first
-    # replay (otherwise a previous bench/session run leaves the cache warm
-    # and cold == cold_cached)
-    import shutil
-    from openslam_g2o_tpu.utils.compile_cache import default_cache_dir
-    shutil.rmtree(default_cache_dir(), ignore_errors=True)
+    # measure a GENUINE first-ever cold start WITHOUT destroying the
+    # machine's shared persistent cache (round-4 advisor finding: rmtree
+    # of default_cache_dir() silently un-warmed every other session):
+    # point this process's cache at a fresh temp dir instead — same
+    # first-ever semantics, zero collateral
+    import tempfile
+    import jax as _jax
+    if not all(d.platform == "cpu" for d in _jax.devices()):
+        tmp_cache = tempfile.mkdtemp(prefix="g2o_tpu_bench_xla_cache_")
+        _jax.config.update("jax_compilation_cache_dir", tmp_cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     g = load_g2o(INTEL)
     ids = sorted(g.vertices)
@@ -968,6 +986,13 @@ def run_incremental():
 def _progress(msg):
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
+
+# Marginals spot-check HARD gate (round 5): max relative error of the
+# on-chip Schur covariance route vs the independent f64 host assembly.
+# f32 + Jacobi-equilibrated S measures ~1e-4 at the 80k shape; 5e-3 leaves
+# headroom for f32 roundoff through cond(S)~1e9 while failing RED on any
+# real assembly/densify regression (the class of bug round 4 could not see).
+MARGINALS_REL_ERR_GATE = 5e-3
 
 # BA convergence gate: the synthetic scenes have a computable noise-floor
 # chi2 (expected_ba_chi2); the solver must land within 2% of it. The CPU
@@ -1114,6 +1139,9 @@ def main():
             "seconds": round(marg_s, 3),
             "spot_check_max_rel_err_camera_blocks": round(marg_cam_err, 8),
             "spot_check_max_rel_err_landmark_blocks": round(marg_lm_err, 8),
+            "spot_check_gate": MARGINALS_REL_ERR_GATE,
+            "spot_check_green": bool(
+                max(marg_cam_err, marg_lm_err) <= MARGINALS_REL_ERR_GATE),
             "sample_camera_cov_trace": marg_trace,
             "note": "compute_marginals_schur on the 80k-obs BA problem "
                     "on-chip; spot-checked against an independently "
@@ -1150,6 +1178,7 @@ def main():
         "incremental_cold_cached_s":
             report["incremental"]["cold_seconds_with_persistent_cache"],
         "marginals_80k_s": report["marginals_80k"]["seconds"],
+        "marginals_80k_gate": report["marginals_80k"]["spot_check_green"],
         "summary": "headline-last compact line; full report is the "
                    "previous JSON line",
     }))

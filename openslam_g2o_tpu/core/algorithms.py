@@ -178,14 +178,15 @@ class LevenbergMarquardt:
 def _pcg_precomp(work, pattern):
     """Per-linearization quantities of the LM-PCG trial pipeline (shared
     by the while-loop step and the loop-free trial-per-iteration fused
-    body): assembled K-major ELL values, diagonal blocks, lane-major rhs,
+    body): hot-form assembled values (DIA-direct where the pattern
+    activates it — sparse.assemble_hot), diagonal blocks, lane-major rhs,
     hoisted transposed index tables."""
-    from openslam_g2o_tpu.core.sparse import assemble_ell, ell_values_to_kmajor
+    from openslam_g2o_tpu.core.sparse import assemble_hot, hot_diag_blocks
 
     lin = linearize(work)
-    values, b = assemble_ell(work, pattern, lin)
+    hot, b = assemble_hot(work, pattern, lin)
     return {
-        "diag_blocks": pattern.diag_blocks(work, values),
+        "diag_blocks": hot_diag_blocks(work, pattern, hot),
         "bT": {k: v.T for k, v in b.items()},
         "eyes": {g.name: jnp.eye(g.tangent_dim, dtype=work.dtype)
                  for g in work.static.vgroups},
@@ -193,7 +194,7 @@ def _pcg_precomp(work, pattern):
                      for p in range(len(pattern.pairs))),
         "self_maskT": tuple(None if m is None else m.T
                             for m in pattern.self_mask),
-        "values_k": ell_values_to_kmajor(work, pattern, values),
+        "hot": hot,
     }
 
 
@@ -203,9 +204,8 @@ def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
     the _lm_pcg_step trial pipeline without the LM bookkeeping. Returns
     (dxT lane-major, ok)."""
     from openslam_g2o_tpu.core.sparse import (
-        ell_add_diag_kmajor, ell_gershgorin_bound,
-        ell_matvec_lane_kmajor_hot, ell_scale_jacobi_kmajor,
-        ell_split_hot_kmajor, lane_block_mv)
+        ell_matvec_lane_kmajor_hot, hot_add_diag, hot_gershgorin_bound,
+        hot_scale_jacobi, hot_split, lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         batched_chol_inv_lower, batched_chol_lower, make_chebyshev_precond,
         pcg_solve)
@@ -213,16 +213,15 @@ def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
     diag_blocks, bT, eyes = pre["diag_blocks"], pre["bT"], pre["eyes"]
     extra = {g.name: lam * work.free[g.name] + (1.0 - work.free[g.name])
              for g in work.static.vgroups}
-    damped_k = ell_add_diag_kmajor(work, pattern, pre["values_k"], extra,
-                                   self_maskT=pre["self_maskT"])
+    damped = hot_add_diag(work, pattern, pre["hot"], extra,
+                          self_maskT=pre["self_maskT"])
     dblocks = {name: diag_blocks[name]
                + extra[name][:, None, None] * eyes[name][None]
                for name in diag_blocks}
     linv = {name: batched_chol_inv_lower(dblocks[name])
             for name in dblocks}
-    svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
-                                      nbT=pre["nbT"])
-    split = ell_split_hot_kmajor(work, pattern, svals_k)
+    svals = hot_scale_jacobi(work, pattern, damped, linv, nbT=pre["nbT"])
+    split = hot_split(work, pattern, svals)
     linv_lane = {name: jnp.moveaxis(linv[name], 0, -1)
                  for name in linv}                     # [D, D, N]
     bhatT = lane_block_mv(linv_lane, bT)               # Linv b
@@ -234,7 +233,7 @@ def _pcg_trial(work, pattern, pre, lam, dx0T, pcg_iters, pcg_tol,
     else:
         x0hat = None
     if pcg_cheby > 1:
-        hi = ell_gershgorin_bound(work, pattern, svals_k, kmajor=True)
+        hi = hot_gershgorin_bound(work, pattern, svals)
         pre_c = make_chebyshev_precond(mv, hi * _CHEBY_LO_FRAC, hi,
                                        pcg_cheby)
         xhat, ok = pcg_solve(mv, bhatT, precond=pre_c,
@@ -594,21 +593,19 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_ell, ell_add_diag_kmajor, ell_matvec_lane_kmajor_hot,
-        ell_scale_jacobi_kmajor, ell_split_hot_kmajor, ell_values_to_kmajor,
-        lane_block_mv)
+        assemble_hot, ell_matvec_lane_kmajor_hot, hot_add_diag,
+        hot_diag_blocks, hot_scale_jacobi, hot_split, lane_block_mv)
     from openslam_g2o_tpu.core.solvers import (
         _tree_dot, batched_chol_inv_lower, pcg_solve)
 
     work = prob.with_params(params)
     lin = linearize(work)
-    values, b = assemble_ell(work, pattern, lin)
-    diag_blocks = pattern.diag_blocks(work, values)
+    hot, b = assemble_hot(work, pattern, lin)
+    diag_blocks = hot_diag_blocks(work, pattern, hot)
     bT = {k: v.T for k, v in b.items()}
     nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
     self_maskT = tuple(None if m is None else m.T
                        for m in pattern.self_mask)
-    values_k = ell_values_to_kmajor(work, pattern, values)
     eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
             for g in work.static.vgroups}
 
@@ -616,9 +613,8 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     # build_dense_system convention — J columns at fixed slots are already
     # masked, so b and every step stay zero there)
     extra0 = {g.name: 1.0 - work.free[g.name] for g in work.static.vgroups}
-    vals0_k = ell_add_diag_kmajor(work, pattern, values_k, extra0,
-                                  self_maskT=self_maskT)
-    split0 = ell_split_hot_kmajor(work, pattern, vals0_k)
+    vals0 = hot_add_diag(work, pattern, hot, extra0, self_maskT=self_maskT)
+    split0 = hot_split(work, pattern, vals0)
     mv0 = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split0, xT)
 
     hbT = mv0(bT)
@@ -633,16 +629,15 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
         _lm_pcg_step per-trial pipeline, without the LM trial semantics."""
         extra = {g.name: lam_c * work.free[g.name]
                  + (1.0 - work.free[g.name]) for g in work.static.vgroups}
-        damped_k = ell_add_diag_kmajor(work, pattern, values_k, extra,
-                                       self_maskT=self_maskT)
+        damped = hot_add_diag(work, pattern, hot, extra,
+                              self_maskT=self_maskT)
         dblocks = {name: diag_blocks[name]
                    + extra[name][:, None, None] * eyes[name][None]
                    for name in diag_blocks}
         linv = {name: batched_chol_inv_lower(dblocks[name])
                 for name in dblocks}
-        svals_k = ell_scale_jacobi_kmajor(work, pattern, damped_k, linv,
-                                          nbT=nbT)
-        split = ell_split_hot_kmajor(work, pattern, svals_k)
+        svals = hot_scale_jacobi(work, pattern, damped, linv, nbT=nbT)
+        split = hot_split(work, pattern, svals)
         mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split,
                                                    xT)
         linv_lane = {name: jnp.moveaxis(linv[name], 0, -1) for name in linv}
@@ -657,8 +652,14 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
 
     def damp_body(st):
         ok, lam_c, x, tries = st
-        use_lam = jnp.where(was_pd, 0.0, lam_c)
-        x_new, solver_ok = gn_solve(use_lam)
+        # once an in-step solve has failed (we only get here after the
+        # peeled first attempt failed), escalate lam_c regardless of
+        # was_pd: repeating the identical lam=0 PCG solve 20 times would
+        # burn pcg_iters matvecs per retry for the same failure
+        # (round-4 advisor finding; the dense _dogleg_step keeps the
+        # reference's was_pd semantics where a retry is one cheap
+        # factorization, optimization_algorithm_dogleg.cpp:135-160)
+        x_new, solver_ok = gn_solve(lam_c)
         lam_next = jnp.where(solver_ok,
                              jnp.maximum(1e-12, lam_c / 5.0),
                              jnp.minimum(lam_c * 10.0, 1e3))

@@ -585,17 +585,20 @@ def _build(problem: Problem, pattern: BAEllPattern, lin: dict):
             # elements with a 2*(Dp*Dp+Dp)*E*C-FLOP matmul that rides the
             # systolic array (gather throughput is the phase's cost
             # otherwise; see the cam_onehot field comment)
-            # NOTE precision: under the TPU default this matmul runs in
+            # NOTE precision: under the TPU default the Hcc matmul runs in
             # bf16 passes — fine for the DAMPED solver (LM's rho test
             # guards step quality; gates stay green), but the UNDAMPED
             # marginals path needs exact f32 sums, which it gets because
             # compute_marginals_schur wraps everything (including this
-            # _build call) in default_matmul_precision('highest').
-            stream = jnp.concatenate(
-                [Hcc_e.reshape(Dp * Dp, -1), bp_e], axis=0)
-            red = stream @ pg.cam_onehot
-            slot["Hcc"] = slot["Hcc"] + red[:Dp * Dp].reshape(Dp, Dp, C)
-            slot["bT"] = slot["bT"] + red[Dp * Dp:]
+            # _build call) in default_matmul_precision('highest'). The
+            # GRADIENT reduce always runs HIGHEST here (a [Dp, E] @ [E, C]
+            # matmul — negligible cost): b's sign/magnitude steers every
+            # consumer, damped or not, so it carries no bf16 contract.
+            red = Hcc_e.reshape(Dp * Dp, -1) @ pg.cam_onehot
+            red_b = jnp.matmul(bp_e, pg.cam_onehot,
+                               precision=jax.lax.Precision.HIGHEST)
+            slot["Hcc"] = slot["Hcc"] + red.reshape(Dp, Dp, C)
+            slot["bT"] = slot["bT"] + red_b
         else:
             slot["Hcc"] = slot["Hcc"] + _reduce_k_lane(
                 Hcc_e.reshape(Dp * Dp, -1), pg.cam_buckets, pg.cam_perm,
@@ -998,6 +1001,21 @@ def ba_ell_optimize_fused(prob: Problem, pattern: BAEllPattern, params: dict,
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.solvers import _tree_dot
 
+    # trace-time guard (round-4 advisor finding): configurations that
+    # miscompile on this toolchain must not be reachable through the
+    # public fused API — only bench.py checked these predicates before
+    if _wants_host_trials(pattern):
+        raise ValueError(
+            "ba_ell_optimize_fused: multi-bucket patterns must run the "
+            "host-driven trial loop (use ba_ell_step, which dispatches "
+            "it) — bucketed kernels abort the TPU backend inside fused "
+            "loops on this toolchain")
+    if _has_chunked(pattern) and (trial_per_iter or peel):
+        raise ValueError(
+            "ba_ell_optimize_fused: chunk-scanned patterns are only "
+            "verified on-chip with trial_per_iter=False, peel=False "
+            "(peeled/standalone trials silently freeze chi2 at the "
+            "400k-obs shape); pass those settings or use ba_ell_step")
     if trial_per_iter:
         def body(carry, _):
             params, lam, ni, chi = carry

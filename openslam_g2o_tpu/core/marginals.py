@@ -227,17 +227,43 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
 
     # subtract W Hll^-1 W^T
     if use_dense:
-        # all matmuls at HIGHEST precision: the TPU default (bf16 passes)
-        # leaves ~1e-3 relative noise in S, and the UNDAMPED S here sits
-        # one pinned gauge away from singular — enough to go indefinite
-        # and NaN the Cholesky (observed on-chip, round 4)
-        hi = jax.lax.Precision.HIGHEST
-        B2 = sys["B2"]                                   # [Tp, dl*L]
-        B2r = B2.reshape(Tp, dl, L)
-        HB2 = jnp.einsum("utl,ctl->cul", Hinv_lane, B2r,
-                         precision=hi).reshape(Tp, dl * L)
-        S_corr = jnp.matmul(B2, HB2.T, precision=hi)
-        S = S - 0.5 * (S_corr + S_corr.T)
+        # the WHOLE reduced-system recovery runs in f64 (TPU-emulated —
+        # the reference's MarginalCovarianceCholesky is double-precision
+        # throughout, marginal_covariance_cholesky.h:50-103, and this
+        # path is seconds-scale so the emulation cost is noise): in f32,
+        # the 3e4-term S-correction contractions plus the inverse leave
+        # ~6e-3 relative error in the recovered blocks at the 80k-obs
+        # shape (round-5 on-chip bisect vs an independent f64 host
+        # assembly); in f64 the disagreement collapses to the shared
+        # f32-linearization floor. HIGHEST precision still matters for
+        # any f32 matmuls left outside the x64 scope (TPU default bf16
+        # passes made the undamped S indefinite -> NaN, round 4).
+        with jax.enable_x64(True):
+            hi = jax.lax.Precision.HIGHEST
+            f64 = jnp.float64
+            B2r = sys["B2"].reshape(Tp, dl, L).astype(f64)   # [Tp, dl, L]
+            Hinv64 = Hinv_lane.astype(f64)
+            HB2 = jnp.einsum("utl,ctl->cul", Hinv64, B2r,
+                             precision=hi).reshape(Tp, dl * L)
+            B2f = B2r.reshape(Tp, dl * L)
+            S_corr = jnp.matmul(B2f, HB2.T, precision=hi)
+            S64 = S.astype(f64) - 0.5 * (S_corr + S_corr.T)
+            dsc = jnp.sqrt(jnp.clip(jnp.diag(S64), 1e-300, None))
+            Ss = S64 / dsc[:, None] / dsc[None, :]
+            Lchol = jnp.linalg.cholesky(Ss)
+            Sinv_s = solve_triangular(
+                Lchol.T, solve_triangular(Lchol, jnp.eye(Tp, dtype=f64),
+                                          lower=True), lower=False)
+            Sinv64 = Sinv_s / dsc[:, None] / dsc[None, :]
+            # landmark back-substitution correction in the same scope
+            M = jnp.matmul(Sinv64, B2f, precision=hi).reshape(Tp, dl, L)
+            corr64 = jnp.einsum("ctl,cul->ltu", B2r, M, precision=hi)
+            cov_l64 = Hinv.astype(f64) + jnp.einsum(
+                "lst,ltu,luv->lsv", Hinv.astype(f64), corr64,
+                Hinv.astype(f64))
+            Sinv = Sinv64.astype(dt)
+            cov_l_dense = cov_l64.astype(dt)
+        del S_corr, S64, Sinv_s, Sinv64, cov_l64, M, corr64   # free f64 HBM
     else:
         # tiled landmark-major neighbor pairs (beyond-gate shapes)
         for pd in sys["proj"]:
@@ -258,10 +284,18 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
                     S = S.at[rows, cols].add(-T)
 
     # ---- Cov_pp = S^-1 ---------------------------------------------------
-    Lchol = jnp.linalg.cholesky(S)
-    Sinv = solve_triangular(
-        Lchol.T, solve_triangular(Lchol, jnp.eye(Tp, dtype=dt), lower=True),
-        lower=False)
+    if not use_dense:
+        # f32 path for beyond-gate shapes, with Jacobi equilibration:
+        # scaling by d = sqrt(diag(S)) makes the factored matrix
+        # unit-diagonal (cond drops by the scale spread squared); the
+        # inverse unscales exactly.
+        d = jnp.sqrt(jnp.clip(jnp.diag(S), 1e-30, None))
+        Ss = S / d[:, None] / d[None, :]
+        Lchol = jnp.linalg.cholesky(Ss)
+        Sinv_s = solve_triangular(
+            Lchol.T, solve_triangular(Lchol, jnp.eye(Tp, dtype=dt),
+                                      lower=True), lower=False)
+        Sinv = Sinv_s / d[:, None] / d[None, :]
 
     out = {}
     for g in pose_groups:
@@ -274,15 +308,11 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
 
     # ---- Cov_ll diagonal via back-substitution ---------------------------
     if use_dense:
-        # corr_l = (B^T S^-1 B) landmark-diagonal blocks: one MXU matmul
-        # M = S^-1 B, then a Tp-contraction per landmark — B's column block
-        # for landmark l is nonzero exactly at its observing cameras, so
-        # the dense contraction equals the neighbor-pair sum.
-        M = jnp.matmul(Sinv, B2,
-                       precision=jax.lax.Precision.HIGHEST).reshape(
-            Tp, dl, L)
-        corr = jnp.einsum("ctl,cul->ltu", B2r, M,
-                          precision=jax.lax.Precision.HIGHEST)
+        # computed in the f64 scope above (corr_l = (B^T S^-1 B) landmark
+        # blocks via one MXU matmul M = S^-1 B — B's column block for
+        # landmark l is nonzero exactly at its observing cameras, so the
+        # dense contraction equals the neighbor-pair sum)
+        cov_l = cov_l_dense
     else:
         corr = jnp.zeros((L, dl, dl), dtype=dt)
         for pd in sys["proj"]:
@@ -302,7 +332,7 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
                     corr = corr + jnp.einsum(
                         "lkst,lkmsv,lmvu->ltu",
                         W_lm[:, a0:a1], cov_blk, W_lm[:, b0:b1])
-    cov_l = Hinv + jnp.einsum("lst,ltu,luv->lsv", Hinv, corr, Hinv)
+        cov_l = Hinv + jnp.einsum("lst,ltu,luv->lsv", Hinv, corr, Hinv)
     out[pattern.lm_name] = cov_l * free_l[:, None, None]
     return out
 

@@ -144,7 +144,8 @@ class OnlineOptimizer:
     """
 
     def __init__(self, algorithm=None, iterations_per_solve: int = 3,
-                 dtype=None, bucket=bucket_pow2, persistent_cache=True):
+                 dtype=None, bucket=bucket_pow2, persistent_cache=True,
+                 background_warmup=True):
         if persistent_cache:
             # first-solve compile is the ONLY real cost of a session on
             # TPU (154 s cold vs 2.9 s warm measured through the remote
@@ -169,6 +170,33 @@ class OnlineOptimizer:
         # synced to host): lambda/nu warm-start the next solve's trial loop
         self._warm_lam = None
         self._warm_ni = None
+        # background warmup (round 5, VERDICT #5): on an accelerator whose
+        # first compile of the fused solve program costs minutes (the
+        # remote-compile tunnel measured ~150 s), a CACHE-COLD session
+        # serves its first solves on the CPU backend (seconds to compile at
+        # incremental scale) while a daemon thread AOT-compiles the
+        # accelerator program for the current shape bucket; solves switch
+        # to the accelerator the moment the executable is ready. This is
+        # the TPU answer to the reference's cholmod_updown cheap-first-
+        # solve economics (linear_solver_cholmod_online.h:135-160). The
+        # compile also lands in the persistent cache, so later sessions
+        # start accelerator-warm outright.
+        import jax
+        self._accel_dev = next(
+            (d for d in jax.devices() if d.platform != "cpu"), None)
+        self._bg_enabled = bool(background_warmup) \
+            and self._accel_dev is not None
+        self._cpu_dev = None
+        if self._bg_enabled:
+            try:
+                self._cpu_dev = jax.devices("cpu")[0]
+            except RuntimeError:
+                self._bg_enabled = False
+        self._warming = self._bg_enabled
+        self._bg_pool = None
+        self._compile_futures: dict = {}
+        self._compiled: dict = {}
+        self._cpu_fallback_solves = 0
 
     # -- graph views --------------------------------------------------------
 
@@ -333,54 +361,169 @@ class OnlineOptimizer:
         if not any(buf.free[:buf.n].min() == 0.0
                    for buf in self._vbufs.values() if buf.n):
             self.fix(next(iter(self._graph.vertices)))
+        if getattr(self.algorithm, "name", "") == "lm_pcg":
+            return self._solve_fast(iterations)
         prob = self._build_problem()
         if prob.static != self._last_static:
             self._compiles += 1
             self._last_static = prob.static
-        if getattr(self.algorithm, "name", "") == "lm_pcg":
-            import jax
-            import jax.numpy as jnp
-            from openslam_g2o_tpu.core.sparse import build_ell_pattern
-            from openslam_g2o_tpu.core.algorithms import (
-                _lambda_init_pcg, lm_pcg_optimize_fused)
-            valid = {
-                key: np.arange(prob.edges[key].measurement.shape[0])
-                < self._ebufs[key].n
-                for key in self._ebufs}
-            pattern = build_ell_pattern(prob, edge_valid=valid)
-            self.algorithm.use_pattern(prob, pattern)
-            a = self.algorithm
-            if self._warm_lam is None:
-                # honor a user-supplied initialLambda exactly like the batch
-                # driver (LevenbergMarquardtPCG.init); tau-init otherwise
-                if getattr(a, "initial_lambda", 0.0) > 0:
-                    self._warm_lam = jnp.asarray(a.initial_lambda, prob.dtype)
-                else:
-                    self._warm_lam = _lambda_init_pcg(
-                        prob, pattern, prob.params,
-                        jnp.asarray(a.tau, prob.dtype))
-                self._warm_ni = jnp.asarray(2.0, prob.dtype)
-            chi0 = _jitted_robust_chi2()(prob)
-            # the whole solve is ONE device program (lax.scan over LM
-            # steps) + one result sync — through a remote-tunnel TPU each
-            # extra dispatch/sync costs more than the compute itself
-            params, lam, ni, chi, traj = lm_pcg_optimize_fused(
-                prob, pattern, prob.params, self._warm_lam, self._warm_ni,
-                chi0, n_iters=iterations or self.iterations,
-                max_trials=a.max_trials,
-                pcg_iters=a.pcg_iters, pcg_tol=a.pcg_tol,
-                pcg_cheby=a.pcg_cheby)
-            self._warm_lam, self._warm_ni = lam, ni
-            out = prob.with_params(params)
-            stats = [{"chi2": float(c)} for c in np.asarray(traj)]
-        else:
-            out, stats = optimize(prob, self.algorithm,
-                                  iterations=iterations or self.iterations)
+        out, stats = optimize(prob, self.algorithm,
+                              iterations=iterations or self.iterations)
         for name, buf in self._vbufs.items():
             buf.params[:buf.n] = np.asarray(out.params[name])[:buf.n]
         self._graph_dirty = True
         self._solves += 1
         return stats
+
+    def _solve_fast(self, iterations):
+        """The pattern-based LM-PCG solve with the background-warmup state
+        machine (see __init__). States:
+        * accelerator-warm (or no accelerator): build + solve on the
+          default device — the whole solve is ONE fused program + sync.
+        * cache-cold for the current shape bucket: build + solve on the
+          CPU backend (compiles in seconds at incremental scale) while a
+          daemon thread AOT-compiles the accelerator program; the AOT
+          executable is used directly once ready (and also seeds the
+          persistent cache for future sessions)."""
+        import contextlib
+        import jax
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+        from openslam_g2o_tpu.core.algorithms import (
+            _lambda_init_pcg, lm_pcg_optimize_fused)
+
+        a = self.algorithm
+        n_iters = iterations or self.iterations
+
+        def build(on_cpu):
+            ctx = (jax.default_device(self._cpu_dev) if on_cpu
+                   else contextlib.nullcontext())
+            with ctx:
+                prob = self._build_problem()
+                valid = {
+                    key: np.arange(prob.edges[key].measurement.shape[0])
+                    < self._ebufs[key].n
+                    for key in self._ebufs}
+                pattern = build_ell_pattern(prob, edge_valid=valid)
+            return prob, pattern
+
+        on_cpu = self._bg_enabled and self._warming
+        prob, pattern = build(on_cpu)
+        statics = dict(n_iters=n_iters, max_trials=a.max_trials,
+                       pcg_iters=a.pcg_iters, pcg_tol=a.pcg_tol,
+                       pcg_cheby=a.pcg_cheby)
+        if self._bg_enabled:
+            leaves, treedef = jax.tree_util.tree_flatten(pattern)
+            key = (prob.static, treedef,
+                   tuple((l.shape, str(l.dtype)) for l in leaves),
+                   tuple(sorted(statics.items())))
+            if key not in self._compiled:
+                fut = self._compile_futures.get(key)
+                if fut is None:
+                    fut = self._submit_compile(key, prob, pattern, statics)
+                if fut.done():
+                    try:
+                        self._compiled[key] = fut.result()
+                    except Exception:
+                        # AOT compile failed — fall through to the inline
+                        # jitted path (it recompiles, worst case)
+                        self._compiled[key] = None
+                    if on_cpu:
+                        on_cpu = False
+                        prob, pattern = build(on_cpu)
+                    self._warming = False
+                else:
+                    if not on_cpu:
+                        # a NEW shape bucket appeared mid-session: fall
+                        # back to CPU for this bucket while it compiles
+                        on_cpu = True
+                        prob, pattern = build(on_cpu)
+                    self._warming = True
+            else:
+                if on_cpu:
+                    on_cpu = False
+                    prob, pattern = build(on_cpu)
+                self._warming = False
+        else:
+            key = None
+
+        if prob.static != self._last_static:
+            self._compiles += 1
+            self._last_static = prob.static
+        self.algorithm.use_pattern(prob, pattern)
+        if self._warm_lam is None:
+            # honor a user-supplied initialLambda exactly like the batch
+            # driver (LevenbergMarquardtPCG.init); tau-init otherwise
+            if getattr(a, "initial_lambda", 0.0) > 0:
+                self._warm_lam = jnp.asarray(a.initial_lambda, prob.dtype)
+            else:
+                self._warm_lam = _lambda_init_pcg(
+                    prob, pattern, prob.params,
+                    jnp.asarray(a.tau, prob.dtype))
+            self._warm_ni = jnp.asarray(2.0, prob.dtype)
+        # lambda/nu carry across solves that may hop devices — normalize
+        # placement to the solve's device (committed-device mixes raise)
+        target = self._cpu_dev if on_cpu else None
+        if target is not None:
+            lam0 = jax.device_put(self._warm_lam, target)
+            ni0 = jax.device_put(self._warm_ni, target)
+        elif self._bg_enabled:
+            lam0 = jax.device_put(self._warm_lam, self._accel_dev)
+            ni0 = jax.device_put(self._warm_ni, self._accel_dev)
+        else:
+            lam0, ni0 = self._warm_lam, self._warm_ni
+        chi0 = _jitted_robust_chi2()(prob)
+        # the whole solve is ONE device program (lax.scan over LM
+        # steps) + one result sync — through a remote-tunnel TPU each
+        # extra dispatch/sync costs more than the compute itself
+        out5 = None
+        if not on_cpu and key is not None:
+            exe = self._compiled.get(key)
+            if exe is not None:
+                try:
+                    out5 = exe(prob, pattern, prob.params, lam0, ni0, chi0)
+                except Exception:
+                    out5 = None     # aval/placement mismatch: jit path
+        if out5 is None:
+            out5 = lm_pcg_optimize_fused(
+                prob, pattern, prob.params, lam0, ni0, chi0, **statics)
+        params, lam, ni, chi, traj = out5
+        if on_cpu:
+            self._cpu_fallback_solves += 1
+        self._warm_lam, self._warm_ni = lam, ni
+        out = prob.with_params(params)
+        stats = [{"chi2": float(c)} for c in np.asarray(traj)]
+        for name, buf in self._vbufs.items():
+            buf.params[:buf.n] = np.asarray(out.params[name])[:buf.n]
+        self._graph_dirty = True
+        self._solves += 1
+        return stats
+
+    def _submit_compile(self, key, prob, pattern, statics):
+        """AOT-compile the fused solve program for the accelerator in a
+        daemon thread, from abstract avals only (no data transfer)."""
+        import concurrent.futures
+        import jax
+        from openslam_g2o_tpu.core.algorithms import lm_pcg_optimize_fused
+
+        if self._bg_pool is None:
+            self._bg_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="g2o-tpu-warmup")
+        absify = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        abs_args = (absify(prob), absify(pattern), absify(prob.params),
+                    jax.ShapeDtypeStruct((), prob.dtype),
+                    jax.ShapeDtypeStruct((), prob.dtype),
+                    jax.ShapeDtypeStruct((), prob.dtype))
+
+        def compile_():
+            with jax.default_device(self._accel_dev):
+                return lm_pcg_optimize_fused.lower(
+                    *abs_args, **statics).compile()
+
+        fut = self._bg_pool.submit(compile_)
+        self._compile_futures[key] = fut
+        return fut
 
     # -- queries -----------------------------------------------------------
 
@@ -397,5 +540,6 @@ class OnlineOptimizer:
         carries in its stats output, graph_optimizer_sparse_incremental.cpp)."""
         return {"solves": self._solves,
                 "shape_buckets_compiled": self._compiles,
+                "cpu_fallback_solves": self._cpu_fallback_solves,
                 "vertices": len(self._local),
                 "edges": sum(b.n for b in self._ebufs.values())}

@@ -42,7 +42,9 @@ import jax.numpy as jnp
 
 __all__ = ["EllPattern", "build_ell_pattern", "assemble_ell", "ell_matvec",
            "ell_matvec_lane", "bmm_small", "ell_split_tiers_kmajor",
-           "ell_matvec_lane_kmajor_tiered"]
+           "ell_matvec_lane_kmajor_tiered", "assemble_hot",
+           "hot_diag_blocks", "hot_add_diag", "hot_scale_jacobi",
+           "hot_split", "hot_gershgorin_bound"]
 
 # Above this many int32 entries in one contributor table, fall back to the
 # scatter assembly (a pathological hub vertex would otherwise explode the
@@ -73,9 +75,10 @@ def bmv_small(A, v):
                       "b_idx", "b_mask", "self_mask", "tier_rows",
                       "tier_lo_nbT", "tier_hi_nbT", "dia_src", "dia_mask",
                       "res_srcT", "res_nbT", "res_maskT", "contrib_base",
-                      "b_base"],
+                      "b_base", "dia_asm"],
          meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
-                      "b_sources", "tier_kb", "dia_offsets", "res_k"])
+                      "b_sources", "tier_kb", "dia_offsets", "res_k",
+                      "dia_asm_m"])
 @dataclass
 class EllPattern:
     """Static-topology ELL pattern for the whole block Hessian.
@@ -117,6 +120,22 @@ class EllPattern:
         selected offset (the only gathers left in the hot loop);
         res_k[pid] = K_res. Selection + activation are host-side cost
         decisions (build_ell_pattern).
+    dia_asm: DIA-DIRECT assembly tables (round 5) — contributor tables
+        laid out straight into the offset-major hot form, so assembly
+        emits ("dia", V_dia [Dr*Dc, m, N], V_res [Dr*Dc, K_res, N])
+        with no per-trial values->kmajor transpose or take_along_axis
+        re-lay, AND each destination class carries its own tight M:
+        the self-diagonal plane (offset 0, first in dia_offsets) sums
+        M_self = max vertex degree contributions while off-diagonal
+        planes are typically M=1 — vs the uniform [N*K, M_max] table
+        whose gather cost the round-4 profile measured as the dominant
+        per-trial phase (~15 of 41.7 ms at 100k poses; gathers cost
+        ~0.4 ns/element so padding IS the cost). Per pair, None or a
+        tuple (self_idxT [Ms, N] or None, self_maskT, off_idxT
+        [Mo, m_off*N] or None, off_maskT, res_idxT [Mr, K_res*N] or
+        None, res_maskT) of int32/f32 tables indexing the pair's
+        lane-major contribution stream; dia_asm_m holds the matching
+        (Ms, Mo, Mr, m_off, has_self) static meta.
     """
     nb_idx: tuple
     positions: dict
@@ -135,6 +154,7 @@ class EllPattern:
     res_maskT: tuple
     contrib_base: tuple
     b_base: dict
+    dia_asm: tuple
     pairs: tuple
     K: tuple
     pair_of: tuple
@@ -144,6 +164,7 @@ class EllPattern:
     tier_kb: tuple
     dia_offsets: tuple
     res_k: tuple
+    dia_asm_m: tuple
 
     def pair_table(self, key):
         return dict(self.pair_of)[key]
@@ -275,6 +296,8 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     dia_offsets_l = []
     res_k_l = []
     contrib_base_l = []
+    dia_asm_l = []
+    dia_asm_m_l = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -342,6 +365,12 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
             order = np.argsort(-cnts_u)
             sel = [int(vals_u[i]) for i in order[:_DIA_MAX_OFFSETS]
                    if cnts_u[i] >= _DIA_MIN_ROW_FRAC * rg.count]
+            # self-plane-first invariant: the hot pipeline folds damping
+            # into plane 0 and reads diagonal blocks from it (hot_add_diag
+            # / hot_diag_blocks), so offset 0 leads when present
+            if sel and key[0] == key[1] and 0 in sel and sel[0] != 0:
+                sel.remove(0)
+                sel.insert(0, 0)
             if sel:
                 is_cov = valid_slots & np.isin(offs, np.asarray(sel))
                 res_counts = (valid_slots & ~is_cov).sum(axis=1)
@@ -361,18 +390,18 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                         d_mask[j, has] = 1.0
                     r_k = res_K
                     if res_K:
-                        rr, kk = np.nonzero(valid_slots & ~is_cov)
+                        rr_res, kk_res = np.nonzero(valid_slots & ~is_cov)
                         starts_r = np.zeros(rg.count + 1, dtype=np.int64)
-                        np.cumsum(np.bincount(rr, minlength=rg.count),
+                        np.cumsum(np.bincount(rr_res, minlength=rg.count),
                                   out=starts_r[1:])
-                        col = np.arange(len(rr)) - starts_r[rr]
+                        col_res = np.arange(len(rr_res)) - starts_r[rr_res]
                         r_srcT = np.zeros((res_K, rg.count), dtype=np.int32)
                         r_nbT = np.zeros((res_K, rg.count), dtype=np.int32)
                         r_maskT = np.zeros((res_K, rg.count),
                                            dtype=np.float32)
-                        r_srcT[col, rr] = kk
-                        r_nbT[col, rr] = tbl[rr, kk]
-                        r_maskT[col, rr] = 1.0
+                        r_srcT[col_res, rr_res] = kk_res
+                        r_nbT[col_res, rr_res] = tbl[rr_res, kk_res]
+                        r_maskT[col_res, rr_res] = 1.0
                     d_sel = tuple(sel)
         dia_src_l.append(None if d_src is None else jnp.asarray(d_src))
         dia_mask_l.append(None if d_mask is None else jnp.asarray(d_mask))
@@ -398,6 +427,80 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
         contrib_mask.append(None if cm is None else jnp.asarray(cm))
         contrib_m.append(M)
         contrib_base_l.append(cb)
+
+        # DIA-direct assembly tables (dia_asm docstring): per destination
+        # class (self plane / off-diagonal planes / residual slots) its own
+        # tight-M transposed contributor table, so assembly emits the hot
+        # split layout with ~sum(actual contributions) gathered elements
+        # instead of N*K*M_max
+        d_asm, d_asm_meta = None, None
+        if d_sel is not None and (key[0] != key[1] or d_sel[0] == 0):
+            rows_c = all_rows[vmask]
+            off_c = all_cols[vmask] - rows_c
+            k_c = pos_all[vmask]
+            spos = np.nonzero(vmask)[0] if not vmask.all() else None
+
+            def _tbl_T(sub, dest_sub, n_dest):
+                # stream positions of the subset's contributions (global
+                # positions in the pair's concatenated per-edge stream)
+                si = sub if spos is None else spos[sub]
+                ti, tm, Mx, _ = _contrib_tables(
+                    dest_sub.astype(np.int64), n_dest, stream_idx=si)
+                if ti is None:
+                    return None
+                return (jnp.asarray(np.ascontiguousarray(ti.T)),
+                        jnp.asarray(np.ascontiguousarray(tm.T)), Mx)
+
+            has_self = key[0] == key[1] and d_sel[0] == 0
+            sel_off = list(d_sel[1:]) if has_self else list(d_sel)
+            is_self_c = (off_c == 0) if has_self \
+                else np.zeros(len(off_c), dtype=bool)
+            if sel_off:
+                in_plane = np.isin(off_c, np.asarray(sel_off)) & ~is_self_c
+            else:
+                in_plane = np.zeros(len(off_c), dtype=bool)
+            sub_self = np.nonzero(is_self_c)[0]
+            sub_off = np.nonzero(in_plane)[0]
+            sub_res = np.nonzero(~is_self_c & ~in_plane)[0]
+            parts = []
+            ok = True
+            if has_self:
+                t = _tbl_T(sub_self, rows_c[sub_self], rg.count)
+                ok &= t is not None
+                parts.append(t)
+            else:
+                parts.append(None)
+            if sel_off and len(sub_off):
+                so = np.argsort(sel_off)
+                sso = np.asarray(sel_off)[so]
+                po = so[np.searchsorted(sso, off_c[sub_off])]
+                t = _tbl_T(sub_off, po * rg.count + rows_c[sub_off],
+                           len(sel_off) * rg.count)
+                ok &= t is not None
+                parts.append(t)
+            else:
+                parts.append(None)
+            if r_k and len(sub_res):
+                resc = np.full((rg.count, K), -1, dtype=np.int64)
+                resc[rr_res, kk_res] = col_res
+                rcol = resc[rows_c[sub_res], k_c[sub_res]]
+                ok &= (rcol >= 0).all()
+                t = _tbl_T(sub_res, rcol * rg.count + rows_c[sub_res],
+                           r_k * rg.count) if ok else None
+                ok &= t is not None
+                parts.append(t)
+            else:
+                ok &= len(sub_res) == 0
+                parts.append(None)
+            if ok:
+                d_asm = tuple(x for p in parts
+                              for x in ((p[0], p[1]) if p else (None, None)))
+                d_asm_meta = (parts[0][2] if parts[0] else 0,
+                              parts[1][2] if parts[1] else 0,
+                              parts[2][2] if parts[2] else 0,
+                              len(sel_off), has_self)
+        dia_asm_l.append(d_asm)
+        dia_asm_m_l.append(d_asm_meta)
 
     # b contributor tables, one stream per vertex group
     b_idx = {}
@@ -443,10 +546,11 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                       tuple(tier_rows_l), tuple(tier_lo_l), tuple(tier_hi_l),
                       tuple(dia_src_l), tuple(dia_mask_l), tuple(res_srcT_l),
                       tuple(res_nbT_l), tuple(res_maskT_l),
-                      tuple(contrib_base_l), b_base,
+                      tuple(contrib_base_l), b_base, tuple(dia_asm_l),
                       tuple(pair_names), tuple(Ks), tuple(pair_of),
                       tuple(contrib_m), b_m, b_sources, tuple(tier_kb_l),
-                      tuple(dia_offsets_l), tuple(res_k_l))
+                      tuple(dia_offsets_l), tuple(res_k_l),
+                      tuple(dia_asm_m_l))
 
 
 def _edge_blocks(problem, lin):
@@ -468,6 +572,48 @@ def _edge_blocks(problem, lin):
     return blocks, bvecs
 
 
+def _pair_stream(problem, pattern, blocks, pid, Dr, Dc):
+    """Lane-major contribution stream [Dr*Dc, E_total] of one pair table."""
+    srcs = [key for key, p in pattern.pair_of if p == pid]
+    return jnp.concatenate(
+        [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
+
+
+def _assemble_pair(problem, pattern, blocks, pid):
+    """One pair table's assembled values [Dr*Dc, N, K] (assemble_ell body)."""
+    dt = problem.dtype
+    rg_name, cg_name = pattern.pairs[pid]
+    K = pattern.K[pid]
+    rg = problem.static.vgroup(rg_name)
+    cg = problem.static.vgroup(cg_name)
+    Dr, Dc = rg.tangent_dim, cg.tangent_dim
+    if (pattern.contrib_base[pid] is not None
+            and pattern.contrib_base[pid][1] is None):
+        # single-contribution-per-slot fast path (round 4): one
+        # gathered element per slot instead of the [N*K, M] table.
+        # NOTE a scatter-ADD overflow variant was measured SLOWER than
+        # the M-wide gather at the 100k shape (18.9 vs 15.0 ms —
+        # TPU scatters lose again), so multi-contribution patterns
+        # stay on the proven gather table below.
+        (bidx, bmask), _ = pattern.contrib_base[pid]
+        stream = _pair_stream(problem, pattern, blocks, pid, Dr, Dc)
+        v = jnp.take(stream, bidx, axis=1) * bmask.astype(dt)[None]
+        return v.reshape(Dr * Dc, rg.count, K)
+    if pattern.contrib_idx[pid] is not None:
+        stream = _pair_stream(problem, pattern, blocks, pid, Dr, Dc)
+        g = jnp.take(stream, pattern.contrib_idx[pid].reshape(-1), axis=1)
+        g = g.reshape(Dr * Dc, rg.count * K, pattern.contrib_m[pid])
+        v = (g * pattern.contrib_mask[pid].astype(dt)[None]).sum(axis=2)
+        return v.reshape(Dr * Dc, rg.count, K)
+    srcs = [key for key, p in pattern.pair_of if p == pid]
+    v = jnp.zeros((rg.count, K, Dr, Dc), dtype=dt)
+    for key in srcs:
+        egkey, s, t = key
+        ea = problem.edges[egkey]
+        v = v.at[ea.indices[s], pattern.positions[key]].add(blocks[key])
+    return jnp.moveaxis(v.reshape(rg.count, K, Dr * Dc), 2, 0)
+
+
 def assemble_ell(problem, pattern: EllPattern, lin: dict):
     """Accumulate per-edge J^T W J blocks into the lane-major ELL tables.
 
@@ -478,44 +624,14 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
     dt = problem.dtype
     blocks, bvecs = _edge_blocks(problem, lin)
 
-    values = []
-    for pid, ((rg_name, cg_name), K) in enumerate(zip(pattern.pairs,
-                                                      pattern.K)):
-        rg = problem.static.vgroup(rg_name)
-        cg = problem.static.vgroup(cg_name)
-        Dr, Dc = rg.tangent_dim, cg.tangent_dim
-        srcs = [key for key, p in pattern.pair_of if p == pid]
-        if (pattern.contrib_base[pid] is not None
-                and pattern.contrib_base[pid][1] is None):
-            # single-contribution-per-slot fast path (round 4): one
-            # gathered element per slot instead of the [N*K, M] table.
-            # NOTE a scatter-ADD overflow variant was measured SLOWER than
-            # the M-wide gather at the 100k shape (18.9 vs 15.0 ms —
-            # TPU scatters lose again), so multi-contribution patterns
-            # stay on the proven gather table below.
-            (bidx, bmask), _ = pattern.contrib_base[pid]
-            stream = jnp.concatenate(
-                [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
-            v = jnp.take(stream, bidx, axis=1) * bmask.astype(dt)[None]
-            values.append(v.reshape(Dr * Dc, rg.count, K))
-        elif pattern.contrib_idx[pid] is not None:
-            # lane-major contribution stream [Dr*Dc, E_total]
-            stream = jnp.concatenate(
-                [blocks[key].reshape(-1, Dr * Dc).T for key in srcs], axis=1)
-            g = jnp.take(stream, pattern.contrib_idx[pid].reshape(-1), axis=1)
-            g = g.reshape(Dr * Dc, rg.count * K, pattern.contrib_m[pid])
-            v = (g * pattern.contrib_mask[pid].astype(dt)[None]).sum(axis=2)
-            values.append(v.reshape(Dr * Dc, rg.count, K))
-        else:
-            v = jnp.zeros((rg.count, K, Dr, Dc), dtype=dt)
-            for key in srcs:
-                egkey, s, t = key
-                ea = problem.edges[egkey]
-                v = v.at[ea.indices[s], pattern.positions[key]].add(
-                    blocks[key])
-            values.append(jnp.moveaxis(v.reshape(rg.count, K, Dr * Dc),
-                                       2, 0))
+    values = [_assemble_pair(problem, pattern, blocks, pid)
+              for pid in range(len(pattern.pairs))]
+    return tuple(values), _assemble_b(problem, pattern, bvecs)
 
+
+def _assemble_b(problem, pattern: EllPattern, bvecs):
+    """Gradient accumulation b = -J^T W r per vertex group (row-major)."""
+    dt = problem.dtype
     b = {}
     for g in problem.static.vgroups:
         D = g.tangent_dim
@@ -541,7 +657,7 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
                 ea = problem.edges[egkey]
                 acc = acc.at[ea.indices[s]].add(bvecs[(egkey, s)])
             b[g.name] = acc
-    return tuple(values), b
+    return b
 
 
 def ell_add_diag(problem, pattern: EllPattern, values, extra: dict):
@@ -856,6 +972,209 @@ def ell_split_hot_kmajor(problem, pattern: EllPattern, values_k):
             out.append(("tier", v[:, :kb, :],
                         jnp.take(v[:, kb:, :], rows, axis=2)))
     return tuple(out)
+
+
+def assemble_hot(problem, pattern: EllPattern, lin: dict):
+    """Assemble per-edge J^T W J blocks DIRECTLY into the hot-loop
+    representation (round 5): pairs with DIA-direct tables (dia_asm) emit
+    ("dia", V_dia [Dr*Dc, m, N], V_res [Dr*Dc, K_res, N]) straight from
+    per-destination-class contributor gathers — no [N, K] intermediate, no
+    per-trial kmajor transpose, no take_along_axis re-lay, and the self
+    plane's M is the vertex degree while off-diagonal planes gather one
+    element per slot. Other pairs fall back to the proven contributor-table
+    assembly, returned K-major as ("k", values_k [Dr*Dc, K, N], None).
+
+    Returns (hot: tuple of tagged entries, b: dict group -> [N, D]).
+    The round-4 chain-differenced profile measured assemble+re-lay at ~19
+    of the 41.7 ms 100k-pose LM trial — gathers cost ~0.4 ns/element, so
+    the uniform [N*K, M_max] table's padding was the dominant cost.
+    """
+    dt = problem.dtype
+    blocks, bvecs = _edge_blocks(problem, lin)
+    hot = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        asm = pattern.dia_asm[pid]
+        if asm is None:
+            v = _assemble_pair(problem, pattern, blocks, pid)
+            hot.append(("k", jnp.swapaxes(v, 1, 2), None))
+            continue
+        s_idx, s_mask, o_idx, o_mask, r_idx, r_mask = asm
+        Ms, Mo, Mr, m_off, has_self = pattern.dia_asm_m[pid]
+        N = rg.count
+        stream = _pair_stream(problem, pattern, blocks, pid, Dr, Dc)
+        planes = []
+        if has_self:
+            g = jnp.take(stream, s_idx.reshape(-1), axis=1)
+            g = g.reshape(Dr * Dc, Ms, N)
+            planes.append((g * s_mask.astype(dt)[None]).sum(
+                axis=1, keepdims=True))
+        if m_off:
+            if o_idx is None:
+                planes.append(jnp.zeros((Dr * Dc, m_off, N), dtype=dt))
+            else:
+                g = jnp.take(stream, o_idx.reshape(-1), axis=1)
+                g = g.reshape(Dr * Dc, Mo, m_off, N)
+                planes.append((g * o_mask.astype(dt).reshape(
+                    1, Mo, m_off, N)).sum(axis=1))
+        V_dia = jnp.concatenate(planes, axis=1) if len(planes) > 1 \
+            else planes[0]
+        V_res = None
+        if r_idx is not None:
+            kr = pattern.res_k[pid]
+            g = jnp.take(stream, r_idx.reshape(-1), axis=1)
+            g = g.reshape(Dr * Dc, Mr, kr, N)
+            V_res = (g * r_mask.astype(dt).reshape(1, Mr, kr, N)).sum(axis=1)
+        hot.append(("dia", V_dia, V_res))
+    return tuple(hot), _assemble_b(problem, pattern, bvecs)
+
+
+def hot_diag_blocks(problem, pattern: EllPattern, hot):
+    """[N, D, D] diagonal blocks per group from assemble_hot output: DIA
+    pairs read plane 0 (the self plane, build invariant — zero on rows
+    without a self slot via the assembly mask); K-major pairs locate the
+    self slot as pattern.diag_blocks does."""
+    out = {}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        if rg_name != cg_name:
+            continue
+        g = problem.static.vgroup(rg_name)
+        D = g.tangent_dim
+        kind, a, _ = hot[pid]
+        if kind == "dia":
+            blk = jnp.moveaxis(a[:, 0], 0, 1).reshape(g.count, D, D)
+            out[rg_name] = blk
+            continue
+        nb = pattern.nb_idx[pid]
+        rows = jnp.arange(g.count, dtype=jnp.int32)
+        is_self = nb == rows[:, None]
+        slot = jnp.argmax(is_self, axis=1)
+        blk = jnp.take_along_axis(a, slot[None, None, :], axis=1)[:, 0]
+        blk = jnp.moveaxis(blk, 0, 1).reshape(g.count, D, D)
+        out[rg_name] = blk * jnp.any(is_self, axis=1)[:, None, None]
+    for g in problem.static.vgroups:
+        if g.name not in out:
+            out[g.name] = jnp.zeros(
+                (g.count, g.tangent_dim, g.tangent_dim), dtype=problem.dtype)
+    return out
+
+
+def hot_add_diag(problem, pattern: EllPattern, hot, extra: dict,
+                 self_maskT=None):
+    """Fold a per-vertex scalar diagonal term (LM damping + fixed-slot
+    identity) into assemble_hot output: DIA pairs add to plane 0 only
+    (a static-index update, no scatter); K-major pairs use the transposed
+    self mask as ell_add_diag_kmajor does."""
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        kind, a, b = hot[pid]
+        if rg_name != cg_name:
+            out.append(hot[pid])
+            continue
+        rg = problem.static.vgroup(rg_name)
+        D = rg.tangent_dim
+        eye_flat = jnp.reshape(jnp.eye(D, dtype=a.dtype), (-1,))
+        if kind == "dia":
+            present = pattern.dia_asm[pid][1][0]        # [N] self presence
+            add = extra[rg_name] * present.astype(a.dtype)
+            out.append(("dia",
+                        a.at[:, 0, :].add(eye_flat[:, None] * add[None]), b))
+        else:
+            sm = (self_maskT[pid] if self_maskT is not None
+                  else pattern.self_mask[pid].T)
+            add = sm.astype(a.dtype) * extra[rg_name][None, :]
+            out.append(("k", a + eye_flat[:, None, None] * add[None], b))
+    return tuple(out)
+
+
+def hot_scale_jacobi(problem, pattern: EllPattern, hot, linv: dict,
+                     nbT=None):
+    """Symmetric block-Jacobi scaling block(i, j) -> Linv_i B Linv_j^T on
+    assemble_hot output. For DIA planes the column factor Linv_{i+d} is a
+    STATIC SHIFT of the factor table (no gather — same trick as the hot
+    matvec); residual and K-major slots gather factors by neighbor index
+    as ell_scale_jacobi_kmajor does."""
+    out = []
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        kind, a, b = hot[pid]
+        Li = jnp.moveaxis(linv[rg_name], 0, -1)          # [Dr, Dr, N]
+        LjT_flat = jnp.moveaxis(linv[cg_name], 0, -1).reshape(
+            Dc * Dc, cg.count)
+        if kind == "dia":
+            m = a.shape[1]
+            B = a.reshape(Dr, Dc, m, rg.count)
+            C = (Li[:, :, None, None, :] * B[None]).sum(axis=1)
+            Ljs = _shift_stack(LjT_flat, pattern.dia_offsets[pid],
+                               rg.count).reshape(Dc, Dc, m, rg.count)
+            Vd = (C[:, None] * Ljs[None]).sum(axis=2).reshape(
+                Dr * Dc, m, rg.count)
+            Vr = None
+            if b is not None:
+                kr = b.shape[1]
+                Br = b.reshape(Dr, Dc, kr, rg.count)
+                Cr = (Li[:, :, None, None, :] * Br[None]).sum(axis=1)
+                Ljg = jnp.take(LjT_flat, pattern.res_nbT[pid].reshape(-1),
+                               axis=1).reshape(Dc, Dc, kr, rg.count)
+                Vr = (Cr[:, None] * Ljg[None]).sum(axis=2).reshape(
+                    Dr * Dc, kr, rg.count)
+            out.append(("dia", Vd, Vr))
+        else:
+            K = pattern.K[pid]
+            B = a.reshape(Dr, Dc, K, rg.count)
+            C = (Li[:, :, None, None, :] * B[None]).sum(axis=1)
+            idx = nbT[pid] if nbT is not None else pattern.nb_idx[pid].T
+            Ljg = jnp.take(LjT_flat, idx.reshape(-1), axis=1).reshape(
+                Dc, Dc, K, rg.count)
+            S = (C[:, None] * Ljg[None]).sum(axis=2)
+            out.append(("k", S.reshape(Dr * Dc, K, rg.count), b))
+    return tuple(out)
+
+
+def hot_split(problem, pattern: EllPattern, hot):
+    """assemble_hot/hot_scale_jacobi output -> ell_matvec_lane_kmajor_hot
+    operands: DIA entries pass through (already in hot form); K-major
+    entries get the two-tier base+overflow split."""
+    out = []
+    for pid in range(len(pattern.pairs)):
+        kind, a, b = hot[pid]
+        if kind == "dia":
+            out.append(("dia", a, b))
+            continue
+        kb = pattern.tier_kb[pid]
+        rows = pattern.tier_rows[pid]
+        if rows is None:
+            out.append(("tier", a, None))
+        else:
+            out.append(("tier", a[:, :kb, :],
+                        jnp.take(a[:, kb:, :], rows, axis=2)))
+    return tuple(out)
+
+
+def hot_gershgorin_bound(problem, pattern: EllPattern, hot):
+    """Gershgorin lambda_max bound on assemble_hot/hot_scale_jacobi output
+    (the Chebyshev bracket, see ell_gershgorin_bound)."""
+    rowsum = {g.name: jnp.zeros((g.tangent_dim, g.count),
+                                dtype=problem.dtype)
+              for g in problem.static.vgroups}
+    for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
+        rg = problem.static.vgroup(rg_name)
+        cg = problem.static.vgroup(cg_name)
+        Dr, Dc = rg.tangent_dim, cg.tangent_dim
+        kind, a, b = hot[pid]
+        V = jnp.abs(a).reshape(Dr, Dc, -1, rg.count).sum(axis=(1, 2))
+        rowsum[rg_name] = rowsum[rg_name] + V
+        if kind == "dia" and b is not None:
+            Vr = jnp.abs(b).reshape(Dr, Dc, -1, rg.count).sum(axis=(1, 2))
+            rowsum[rg_name] = rowsum[rg_name] + Vr
+    hi = jnp.zeros((), problem.dtype)
+    for rs in rowsum.values():
+        hi = jnp.maximum(hi, jnp.max(rs))
+    return jnp.maximum(hi, jnp.asarray(1e-3, problem.dtype))
 
 
 def _shift_stack(x, offsets, n_rows):

@@ -132,7 +132,9 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         dia_offsets=tuple(None for _ in pattern.dia_offsets),
         res_k=tuple(0 for _ in pattern.res_k),
         contrib_base=tuple(None for _ in pattern.contrib_base),
-        b_base={k: None for k in pattern.b_base})
+        b_base={k: None for k in pattern.b_base},
+        dia_asm=tuple(None for _ in pattern.dia_asm),
+        dia_asm_m=tuple(None for _ in pattern.dia_asm_m))
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes
