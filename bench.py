@@ -42,6 +42,13 @@ N_TIMED_ITERS = 10
 # judged against the baseline's best day, never against its noise.
 PINNED_CPU_BASELINE = 16.23
 SPHERE = "/root/reference/data/3d/sphere/sphere_bignoise_vertex3.g2o"
+# recorded f64 reference plateau for sphere_bignoise (BASELINE.md; all
+# solvers plateau here after ~60 LM iterations) and the convergence gate:
+# the TPU f32 SOLUTION re-evaluated in f64 must come within 0.5% — a gate
+# that actually fails on optimizer regressions (round-4's 123 m flatness
+# bound was a non-divergence proof, not a convergence proof)
+SPHERE_PLATEAU = 743862.7
+SPHERE_GATE = 1.005
 
 
 def _load_problem(dtype):
@@ -811,6 +818,18 @@ def run_tpu_sphere(n_iters=60):
         out = lm_pcg_optimize_fused(prob, pattern, *st, n_iters=10,
                                     pcg_iters=200, pcg_tol=0.05)
         st = out[:4]
+    # polish toward the recorded plateau: warm-started deep-tolerance
+    # windows (the Manhattan/100k polish configuration) — the forcing-tol
+    # phase above stalls ~0.3% high because its inexact steps stop paying
+    # near the basin floor
+    pol = lambda s: lm_pcg_optimize_fused(prob, pattern, *s, n_iters=5,
+                                          pcg_iters=600, pcg_tol=1e-6,
+                                          warm=True)
+    for _ in range(8):
+        if float(st[3]) <= SPHERE_PLATEAU * SPHERE_GATE:
+            break
+        out = pol(st)
+        st = out[:4]
     name = next(iter(st[0]))
     return float(st[3]), np.asarray(st[0][name])
 
@@ -1120,6 +1139,10 @@ def main():
             "sphere_within_flat_bound": bool(
                 ate_sphere <= float(np.sqrt(sphere_d_chi / sphere_lam_min)
                                     / np.sqrt(sphere_t64.shape[0]))),
+            "sphere_recorded_plateau": SPHERE_PLATEAU,
+            "sphere_plateau_gate": SPHERE_GATE,
+            "sphere_converged_to_plateau": bool(
+                sphere_tpu_chi_f64 <= SPHERE_PLATEAU * SPHERE_GATE),
         },
         "cpu_baseline_iters_per_sec": round(base_ips, 3),
         "cpu_baseline_converged_chi2": round(float(base_chi), 3),
@@ -1179,6 +1202,7 @@ def main():
             report["incremental"]["cold_seconds_with_persistent_cache"],
         "marginals_80k_s": report["marginals_80k"]["seconds"],
         "marginals_80k_gate": report["marginals_80k"]["spot_check_green"],
+        "sphere_plateau_gate": report["ate"]["sphere_converged_to_plateau"],
         "summary": "headline-last compact line; full report is the "
                    "previous JSON line",
     }))

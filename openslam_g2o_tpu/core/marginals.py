@@ -227,43 +227,37 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
 
     # subtract W Hll^-1 W^T
     if use_dense:
-        # the WHOLE reduced-system recovery runs in f64 (TPU-emulated —
-        # the reference's MarginalCovarianceCholesky is double-precision
-        # throughout, marginal_covariance_cholesky.h:50-103, and this
-        # path is seconds-scale so the emulation cost is noise): in f32,
-        # the 3e4-term S-correction contractions plus the inverse leave
-        # ~6e-3 relative error in the recovered blocks at the 80k-obs
-        # shape (round-5 on-chip bisect vs an independent f64 host
-        # assembly); in f64 the disagreement collapses to the shared
-        # f32-linearization floor. HIGHEST precision still matters for
-        # any f32 matmuls left outside the x64 scope (TPU default bf16
-        # passes made the undamped S indefinite -> NaN, round 4).
-        with jax.enable_x64(True):
-            hi = jax.lax.Precision.HIGHEST
-            f64 = jnp.float64
-            B2r = sys["B2"].reshape(Tp, dl, L).astype(f64)   # [Tp, dl, L]
-            Hinv64 = Hinv_lane.astype(f64)
-            HB2 = jnp.einsum("utl,ctl->cul", Hinv64, B2r,
-                             precision=hi).reshape(Tp, dl * L)
-            B2f = B2r.reshape(Tp, dl * L)
-            S_corr = jnp.matmul(B2f, HB2.T, precision=hi)
-            S64 = S.astype(f64) - 0.5 * (S_corr + S_corr.T)
-            dsc = jnp.sqrt(jnp.clip(jnp.diag(S64), 1e-300, None))
-            Ss = S64 / dsc[:, None] / dsc[None, :]
-            Lchol = jnp.linalg.cholesky(Ss)
-            Sinv_s = solve_triangular(
-                Lchol.T, solve_triangular(Lchol, jnp.eye(Tp, dtype=f64),
-                                          lower=True), lower=False)
-            Sinv64 = Sinv_s / dsc[:, None] / dsc[None, :]
-            # landmark back-substitution correction in the same scope
-            M = jnp.matmul(Sinv64, B2f, precision=hi).reshape(Tp, dl, L)
-            corr64 = jnp.einsum("ctl,cul->ltu", B2r, M, precision=hi)
-            cov_l64 = Hinv.astype(f64) + jnp.einsum(
-                "lst,ltu,luv->lsv", Hinv.astype(f64), corr64,
-                Hinv.astype(f64))
-            Sinv = Sinv64.astype(dt)
-            cov_l_dense = cov_l64.astype(dt)
-        del S_corr, S64, Sinv_s, Sinv64, cov_l64, M, corr64   # free f64 HBM
+        # the reduced-system RECOVERY runs in f64 ON THE HOST — the
+        # reference's MarginalCovarianceCholesky is double-precision
+        # throughout (marginal_covariance_cholesky.h:50-103) and the TPU
+        # has no f64 ALU (enabling x64 silently falls back to f32, which
+        # the round-5 on-chip bisect measured at ~1e-2 relative block
+        # error: the 3e4-term f32 S-correction contractions leave
+        # dS/S ~ 1e-5 that the ~1e3-conditioned inverse amplifies). The
+        # heavy O(E) work — linearize, W products, the one-hot densify —
+        # already ran on-chip in _build; what moves here is one [Tp, dl*L]
+        # operand pull plus ~40 GFLOP of dgemm on a [Tp, Tp] system,
+        # sub-second at the 80k-observation bench shape.
+        B2r = np.asarray(sys["B2"], dtype=np.float64).reshape(Tp, dl, L)
+        Hinv_np = np.asarray(jnp.moveaxis(Hinv_lane, -1, 0),
+                             dtype=np.float64)          # [L, dl, dl]
+        HB2 = np.einsum("ctl,utl->cul", B2r,
+                        np.moveaxis(Hinv_np, 0, -1)).reshape(Tp, dl * L)
+        B2f = B2r.reshape(Tp, dl * L)
+        S_corr = B2f @ HB2.T
+        S_np = np.asarray(S, dtype=np.float64) - 0.5 * (S_corr + S_corr.T)
+        dsc = np.sqrt(np.clip(np.diag(S_np), 1e-300, None))
+        Ss = S_np / dsc[:, None] / dsc[None, :]
+        Lchol = np.linalg.cholesky(Ss)
+        Li = np.linalg.inv(Lchol)
+        Sinv_np = (Li.T @ Li) / dsc[:, None] / dsc[None, :]
+        # landmark back-substitution correction, same precision
+        M = (Sinv_np @ B2f).reshape(Tp, dl, L)
+        corr = np.einsum("ctl,cul->ltu", B2r, M)
+        cov_l64 = Hinv_np + np.einsum("lst,ltu,luv->lsv", Hinv_np, corr,
+                                      Hinv_np)
+        Sinv = jnp.asarray(Sinv_np, dtype=dt)
+        cov_l_dense = jnp.asarray(cov_l64, dtype=dt)
     else:
         # tiled landmark-major neighbor pairs (beyond-gate shapes)
         for pd in sys["proj"]:

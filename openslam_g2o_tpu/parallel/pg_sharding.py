@@ -122,15 +122,11 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         tier_lo_nbT=tuple(None for _ in pattern.tier_lo_nbT),
         tier_hi_nbT=tuple(None for _ in pattern.tier_hi_nbT),
         tier_kb=tuple(pattern.K),
-        # DIA band split likewise unused here (the row-partitioned matvec
-        # gathers from the replicated x directly)
-        dia_src=tuple(None for _ in pattern.dia_src),
-        dia_mask=tuple(None for _ in pattern.dia_mask),
-        res_srcT=tuple(None for _ in pattern.res_srcT),
-        res_nbT=tuple(None for _ in pattern.res_nbT),
-        res_maskT=tuple(None for _ in pattern.res_maskT),
-        dia_offsets=tuple(None for _ in pattern.dia_offsets),
-        res_k=tuple(0 for _ in pattern.res_k),
+        # the DIA band split DOES apply per shard (round 5): contiguous
+        # row blocks of a trajectory-ordered graph are themselves
+        # near-banded, so each shard's matvec consumes statically SHIFTED
+        # windows of the replicated x (dynamic_slice at row_offset+d — no
+        # gather) — dia_src/dia_mask/res_* are kept and sliced per shard
         contrib_base=tuple(None for _ in pattern.contrib_base),
         b_base={k: None for k in pattern.b_base},
         dia_asm=tuple(None for _ in pattern.dia_asm),
@@ -150,16 +146,28 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
     free = jax.tree_util.tree_map(lambda x: jax.device_put(x, repl),
                                   padded.free)
     placed = dataclasses.replace(padded, edges=edges, params=params, free=free)
+    put_repl = lambda t: None if t is None else jax.device_put(t, repl)
     pattern = dataclasses.replace(
         pattern,
         nb_idx=tuple(jax.device_put(t, repl) for t in pattern.nb_idx),
-        positions={k: place_edges(v) for k, v in pattern.positions.items()})
+        positions={k: place_edges(v) for k, v in pattern.positions.items()},
+        dia_src=tuple(put_repl(t) for t in pattern.dia_src),
+        dia_mask=tuple(put_repl(t) for t in pattern.dia_mask),
+        res_srcT=tuple(put_repl(t) for t in pattern.res_srcT),
+        res_nbT=tuple(put_repl(t) for t in pattern.res_nbT),
+        res_maskT=tuple(put_repl(t) for t in pattern.res_maskT))
 
     edges_in_spec = jax.tree_util.tree_map(lambda _: edge_spec, placed.edges)
     pattern_in_spec = dataclasses.replace(
         pattern,
         nb_idx=tuple(P() for _ in pattern.nb_idx),
-        positions={k: edge_spec for k in pattern.positions})
+        positions={k: edge_spec for k in pattern.positions},
+        dia_src=tuple(None if t is None else P() for t in pattern.dia_src),
+        dia_mask=tuple(None if t is None else P() for t in pattern.dia_mask),
+        res_srcT=tuple(None if t is None else P() for t in pattern.res_srcT),
+        res_nbT=tuple(None if t is None else P() for t in pattern.res_nbT),
+        res_maskT=tuple(None if t is None else P()
+                        for t in pattern.res_maskT))
 
     vgroups = placed.static.vgroups
     rows_of = {g.name: g.count // n_rows for g in vgroups}
@@ -186,12 +194,41 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         i_row = jax.lax.axis_index(row_axis)
         values_loc = []
         nb_loc = []
+        dia_loc = []
         for pid, (rg_name, _) in enumerate(pattern_local.pairs):
             nr = rows_of[rg_name]
             values_loc.append(jax.lax.dynamic_slice_in_dim(
                 values[pid], i_row * nr, nr, axis=1))
             nb_loc.append(jax.lax.dynamic_slice_in_dim(
                 pattern_local.nb_idx[pid], i_row * nr, nr, axis=0))
+            # per-shard DIA split (round 5): re-lay this shard's rows into
+            # offset-major planes once per LM step — contiguous keyframe
+            # submaps of trajectory-ordered graphs are near-banded, so the
+            # hot-loop x access becomes a shifted dynamic_slice of the
+            # REPLICATED x (exact across shard boundaries, zero gathers)
+            if pattern.dia_offsets[pid] is None:
+                dia_loc.append(None)
+                continue
+            src = jax.lax.dynamic_slice_in_dim(
+                pattern_local.dia_src[pid], i_row * nr, nr, axis=1)  # [m,nr]
+            msk = jax.lax.dynamic_slice_in_dim(
+                pattern_local.dia_mask[pid], i_row * nr, nr, axis=1)
+            Vd = jnp.take_along_axis(
+                values_loc[pid], jnp.swapaxes(src, 0, 1)[None], axis=2) \
+                * jnp.swapaxes(msk, 0, 1)[None].astype(work.dtype)
+            Vr = nb_r = msk_r = None
+            if pattern.res_k[pid]:
+                src_r = jax.lax.dynamic_slice_in_dim(
+                    pattern_local.res_srcT[pid], i_row * nr, nr, axis=1)
+                nb_r = jax.lax.dynamic_slice_in_dim(
+                    pattern_local.res_nbT[pid], i_row * nr, nr, axis=1)
+                msk_r = jax.lax.dynamic_slice_in_dim(
+                    pattern_local.res_maskT[pid], i_row * nr, nr, axis=1)
+                Vr = jnp.take_along_axis(
+                    values_loc[pid], jnp.swapaxes(src_r, 0, 1)[None],
+                    axis=2) \
+                    * jnp.swapaxes(msk_r, 0, 1)[None].astype(work.dtype)
+            dia_loc.append((Vd, Vr, nb_r))
 
         free_parts = {g.name: work.free[g.name][:, None] for g in vgroups}
 
@@ -208,7 +245,8 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
 
             def matvec(x):
                 # row-local SpMV (lane gather + VPU reduce on the owned
-                # block, the single-device ell_matvec layout) ...
+                # block, the single-device ell_matvec layout; DIA pairs
+                # consume shifted dynamic_slice windows instead) ...
                 xT = {k: v.T for k, v in x.items()}
                 y_loc = {g.name: jnp.zeros((rows_of[g.name], g.tangent_dim),
                                            dtype=work.dtype) for g in vgroups}
@@ -219,6 +257,28 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
                               if g.name == rg_name)
                     Dc = next(g.tangent_dim for g in vgroups
                               if g.name == cg_name)
+                    if dia_loc[pid] is not None:
+                        Vd, Vr, nb_r = dia_loc[pid]
+                        offs = pattern.dia_offsets[pid]
+                        pad_l = max(0, -min(offs))
+                        pad_r = max(0, max(offs))
+                        xp = jnp.pad(xT[cg_name],
+                                     ((0, 0), (pad_l, pad_r)))
+                        xs = jnp.stack(
+                            [jax.lax.dynamic_slice_in_dim(
+                                xp, i_row * nr + d + pad_l, nr, axis=1)
+                             for d in offs], axis=-1)    # [Dc, nr, m]
+                        y_loc[rg_name] = y_loc[rg_name] + (
+                            Vd.reshape(Dr, Dc, nr, len(offs))
+                            * xs[None]).sum(axis=(1, 3)).T
+                        if Vr is not None:
+                            kr = nb_r.shape[0]
+                            xg = jnp.take(xT[cg_name], nb_r.T.reshape(-1),
+                                          axis=1).reshape(Dc, nr, kr)
+                            y_loc[rg_name] = y_loc[rg_name] + (
+                                Vr.reshape(Dr, Dc, nr, kr)
+                                * xg[None]).sum(axis=(1, 3)).T
+                        continue
                     xg = jnp.take(xT[cg_name], nb_loc[pid].reshape(-1),
                                   axis=1).reshape(Dc, nr, K)
                     V = values_loc[pid].reshape(Dr, Dc, nr, K)
