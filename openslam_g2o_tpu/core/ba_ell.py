@@ -737,7 +737,14 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
         B2 = sys["B2"]
         B2r = B2.reshape(Tp, dl, L)
         HB2 = jnp.einsum("utl,ctl->cul", Hinv, B2r).reshape(Tp, dl * L)
-        S_corr = B2 @ HB2.T
+        # fuse the reduced-rhs coupling B2 @ hib into the S matmul as one
+        # extra output column: the [Tp, dl*L] B2 operand (72 MB at the 80k
+        # bench shape) streams from HBM ONCE for both products (round 5;
+        # the matmul is HBM-bound, so an extra pass costs ~90 us/trial)
+        M2 = jnp.concatenate([HB2.T, hib.reshape(-1, 1)], axis=1)
+        SR = B2 @ M2                                    # [Tp, Tp + 1]
+        S_corr = SR[:, :Tp]
+        B2hib = SR[:, Tp]
         S = -0.5 * (S_corr + S_corr.T)
         for g in pose_groups:
             D = g.tangent_dim
@@ -749,7 +756,7 @@ def _solve(problem: Problem, pattern: BAEllPattern, sys, lam,
             S = S + sys["Hpp_extra"]
         free_flat = parts_to_flat({k: jnp.broadcast_to(
             free_p[k][None], b_p[k].shape) for k in b_p})
-        b_flat = (parts_to_flat(b_p) - B2 @ hib.reshape(-1)) * free_flat
+        b_flat = (parts_to_flat(b_p) - B2hib) * free_flat
         dx_flat, ok = solve_dense_cholesky(S, b_flat)
         dx_p = flat_to_parts(dx_flat * free_flat)
         u = (B2.T @ dx_flat).reshape(dl, L)
@@ -953,6 +960,25 @@ def _has_chunked(pattern: BAEllPattern) -> bool:
                for b in pg.cam_buckets + pg.lm_buckets)
 
 
+def _fused_chunk_unsafe(problem, pattern: BAEllPattern) -> bool:
+    """True when a fused/peeled trial would actually EXECUTE chunk-scanned
+    kernels — the configuration that silently freezes chi2 on-chip at the
+    400k shape (CLAUDE.md). On the dense-Schur route the chunked
+    camera-side tables are DEAD operands (_build skips _reduce_k_lane and
+    the W_cam gather when cam_onehot/B2 exist), so chunking there does not
+    gate the fused runner: the 80k bench shape has a 3x512-chunk camera
+    table yet runs fully dense (round-5 finding — the old pattern-only
+    predicate silently pushed the bench onto the per-step dispatch path,
+    ~10 ms/step vs ~6-7 fused)."""
+    if not _has_chunked(pattern):
+        return False
+    if not dense_schur_ok(problem, pattern):
+        return True
+    # dense route: only lm-side chunking would still execute (Hll/b_l
+    # owner reduces always run _reduce_k_lane on lm_buckets)
+    return any(b[1].ndim == 3 for pg in pattern.proj for b in pg.lm_buckets)
+
+
 def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
                 chi_cur, max_trials: int = 10, pcg_iters: int = 100,
                 pcg_tol: float = 1e-10):
@@ -965,7 +991,8 @@ def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,
                                     pcg_iters=pcg_iters, pcg_tol=pcg_tol)
     return _lm_ba_ell_step(prob, pattern, params, lam, ni, chi_cur,
                            max_trials=max_trials, pcg_iters=pcg_iters,
-                           pcg_tol=pcg_tol, peel=not _has_chunked(pattern))
+                           pcg_tol=pcg_tol,
+                           peel=not _fused_chunk_unsafe(prob, pattern))
 
 
 @partial(jax.jit, static_argnames=("n_iters", "max_trials", "pcg_iters",
@@ -1010,12 +1037,13 @@ def ba_ell_optimize_fused(prob: Problem, pattern: BAEllPattern, params: dict,
             "host-driven trial loop (use ba_ell_step, which dispatches "
             "it) — bucketed kernels abort the TPU backend inside fused "
             "loops on this toolchain")
-    if _has_chunked(pattern) and (trial_per_iter or peel):
+    if _fused_chunk_unsafe(prob, pattern) and (trial_per_iter or peel):
         raise ValueError(
-            "ba_ell_optimize_fused: chunk-scanned patterns are only "
-            "verified on-chip with trial_per_iter=False, peel=False "
-            "(peeled/standalone trials silently freeze chi2 at the "
-            "400k-obs shape); pass those settings or use ba_ell_step")
+            "ba_ell_optimize_fused: patterns whose chunk-scanned kernels "
+            "execute in the trial are only verified on-chip with "
+            "trial_per_iter=False, peel=False (peeled/standalone trials "
+            "silently freeze chi2 at the 400k-obs shape); pass those "
+            "settings or use ba_ell_step")
     if trial_per_iter:
         def body(carry, _):
             params, lam, ni, chi = carry

@@ -499,6 +499,16 @@ class OnlineOptimizer:
         self._solves += 1
         return stats
 
+    def drain_warmup(self, timeout=None):
+        """Block until every background warmup compile has finished (used
+        by shutdown paths and measurement harnesses; serving never needs
+        to call this)."""
+        for fut in list(self._compile_futures.values()):
+            try:
+                fut.result(timeout=timeout)
+            except Exception:
+                pass
+
     def _submit_compile(self, key, prob, pattern, statics):
         """AOT-compile the fused solve program for the accelerator in a
         daemon thread, from abstract avals only (no data transfer)."""
