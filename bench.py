@@ -1026,6 +1026,25 @@ def _progress(msg):
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
+def _read_canary():
+    """Latest recorded verdict of scripts/canary_bucketed_400k.py (it runs
+    in its own process because a toolchain fault poisons the client; the
+    bench carries the recorded result so every round re-checks the gated
+    4.5x bucketed path instead of assuming it blocked)."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "CANARY_400K.json")
+    try:
+        with open(path) as fh:
+            out = json.load(fh)
+        out["kept_gated"] = not out.get(
+            "bucketed_path_correct_on_toolchain", False)
+        return out
+    except (OSError, ValueError):
+        return {"status": "never run this round — "
+                          "scripts/canary_bucketed_400k.py"}
+
+
 # Marginals spot-check HARD gate (round 5): max relative error of the
 # on-chip Schur covariance route vs the independent f64 host assembly.
 # f32 + Jacobi-equilibrated S measures ~1e-4 at the 80k shape; 5e-3 leaves
@@ -1175,6 +1194,7 @@ def main():
                         n_cams=900, n_points=50000),
             note="real venice871.g2o is behind a zero-egress download.sh;"
                  " synthetic generator with the same structure stands in",
+            bucketed_canary=_read_canary(),
         ),
         "pose_graph_100k": pg100k,
         "incremental": incr,

@@ -90,13 +90,33 @@ def main():
     print(f"tpu  trajectory: {[round(t, 1) for t in tpu_traj]}")
     print(f"worst per-step relative gap: {worst:.2e} (tol {REL_TOL})")
     descending = tpu_traj[-1] < 0.9 * tpu_traj[0]
-    if worst <= REL_TOL and descending:
+    passed = bool(worst <= REL_TOL and descending)
+    _record(passed, worst, cpu_traj, tpu_traj)
+    if passed:
         print("CANARY PASS — the bucketed path computes correctly on this "
               "toolchain; flip ba_ell._BUCKET_ENABLE = True and re-run "
               "bench.py (noise-floor gates must stay green).")
         return 0
     print("CANARY FAIL — keep gated (_BUCKET_ENABLE = False).")
     return 1
+
+
+def _record(passed, worst, cpu_traj, tpu_traj):
+    """Persist the verdict so bench.py can carry it in the round artifact
+    (the canary must run in its OWN process — a toolchain fault poisons
+    the client — so the bench reads the recorded result instead of
+    re-probing)."""
+    import datetime
+    import json
+    with open("/root/repo/CANARY_400K.json", "w") as fh:
+        json.dump({
+            "bucketed_path_correct_on_toolchain": passed,
+            "chi2_parity_worst_rel_gap": worst,
+            "cpu_trajectory": [round(c, 1) for c in cpu_traj],
+            "tpu_trajectory": [round(t, 1) for t in tpu_traj],
+            "checked_utc": datetime.datetime.utcnow().isoformat(
+                timespec="seconds"),
+        }, fh, indent=1)
 
 
 if __name__ == "__main__":

@@ -349,3 +349,115 @@ class TestDiaSplit:
             np.testing.assert_allclose(np.asarray(y_hot[k]),
                                        np.asarray(y_plain[k]),
                                        rtol=1e-12, atol=1e-12)
+
+
+class TestHotAssembly:
+    """Round-5 DIA-direct assembly: assemble_hot and the hot_* per-trial
+    pipeline must reproduce the proven assemble_ell -> kmajor -> split
+    pipeline bit-for-bit in f64, on DIA-active and fallback graphs alike."""
+
+    def _parity(self, prob, pattern, edge_valid_note=""):
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.core.problem import linearize
+        from openslam_g2o_tpu.core.solvers import batched_chol_inv_lower
+        from openslam_g2o_tpu.core.sparse import (
+            assemble_hot, ell_add_diag_kmajor, ell_gershgorin_bound,
+            ell_matvec_lane_kmajor_hot, ell_scale_jacobi_kmajor,
+            ell_split_hot_kmajor, ell_values_to_kmajor, hot_add_diag,
+            hot_diag_blocks, hot_gershgorin_bound, hot_scale_jacobi,
+            hot_split)
+
+        lin = linearize(prob)
+        values, b_old = assemble_ell(prob, pattern, lin)
+        hot, b_new = assemble_hot(prob, pattern, lin)
+        for k in b_old:
+            np.testing.assert_allclose(np.asarray(b_new[k]),
+                                       np.asarray(b_old[k]),
+                                       rtol=1e-12, atol=1e-12)
+        vk = ell_values_to_kmajor(prob, pattern, values)
+        r = np.random.default_rng(11)
+        xT = {g.name: jnp.asarray(r.normal(size=(g.tangent_dim, g.count)))
+              for g in prob.static.vgroups}
+        y_old = ell_matvec_lane_kmajor_hot(
+            prob, pattern, ell_split_hot_kmajor(prob, pattern, vk), xT)
+        y_new = ell_matvec_lane_kmajor_hot(
+            prob, pattern, hot_split(prob, pattern, hot), xT)
+        for k in y_old:
+            np.testing.assert_allclose(np.asarray(y_new[k]),
+                                       np.asarray(y_old[k]),
+                                       rtol=1e-12, atol=1e-12)
+        db_old = pattern.diag_blocks(prob, values)
+        db_new = hot_diag_blocks(prob, pattern, hot)
+        for k in db_old:
+            np.testing.assert_allclose(np.asarray(db_new[k]),
+                                       np.asarray(db_old[k]),
+                                       rtol=1e-12, atol=1e-12)
+        # damped + Jacobi-scaled trial pipeline parity
+        extra = {g.name: 0.23 * prob.free[g.name]
+                 + (1.0 - prob.free[g.name])
+                 for g in prob.static.vgroups}
+        eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
+                for g in prob.static.vgroups}
+        dblocks = {n: db_old[n] + extra[n][:, None, None] * eyes[n][None]
+                   for n in db_old}
+        linv = {n: batched_chol_inv_lower(dblocks[n]) for n in dblocks}
+        sv_old = ell_scale_jacobi_kmajor(
+            prob, pattern, ell_add_diag_kmajor(prob, pattern, vk, extra),
+            linv)
+        sv_new = hot_scale_jacobi(
+            prob, pattern, hot_add_diag(prob, pattern, hot, extra), linv)
+        yo = ell_matvec_lane_kmajor_hot(
+            prob, pattern, ell_split_hot_kmajor(prob, pattern, sv_old), xT)
+        yn = ell_matvec_lane_kmajor_hot(
+            prob, pattern, hot_split(prob, pattern, sv_new), xT)
+        for k in yo:
+            np.testing.assert_allclose(np.asarray(yn[k]),
+                                       np.asarray(yo[k]),
+                                       rtol=1e-12, atol=1e-12)
+        gb_old = ell_gershgorin_bound(prob, pattern, sv_old, kmajor=True)
+        gb_new = hot_gershgorin_bound(prob, pattern, sv_new)
+        assert float(gb_new) >= float(gb_old) * (1 - 1e-12), edge_valid_note
+
+    def test_dia_direct_assembly_on_serpentine(self):
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+
+        prob, _ = synthetic_pose_graph_2d(n_poses=1500, grid=15,
+                                          dtype=jnp.float64)
+        pattern = build_ell_pattern(prob)
+        assert pattern.dia_asm[0] is not None, \
+            "DIA-direct assembly tables did not build on the serpentine"
+        Ms, Mo, Mr, m_off, has_self = pattern.dia_asm_m[0]
+        assert has_self and Ms >= 2 and Mo == 1
+        self._parity(prob, pattern)
+
+    def test_hot_assembly_on_mixed_group_graph(self):
+        pattern_prob = _problem()
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+        pattern = build_ell_pattern(pattern_prob)
+        self._parity(pattern_prob, pattern)
+
+    def test_hot_assembly_with_edge_valid_masks(self):
+        """The online engine's bucket-padding exclusion (edge_valid) must
+        compose with DIA-direct assembly: padding edges' contributions are
+        dropped from every contributor table."""
+        import jax.numpy as jnp
+        from openslam_g2o_tpu.apps.simulator import synthetic_pose_graph_2d
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+
+        prob, _ = synthetic_pose_graph_2d(n_poses=900, grid=10,
+                                          dtype=jnp.float64)
+        key = prob.static.egroups[0].key
+        E = prob.edges[key].measurement.shape[0]
+        valid = np.ones(E, dtype=bool)
+        valid[-E // 10:] = False
+        # zero the information of invalid edges so both paths agree
+        import dataclasses as dc
+        ea = prob.edges[key]
+        info = np.asarray(ea.information).copy()
+        info[~valid] = 0.0
+        prob = dc.replace(prob, edges={key: dc.replace(
+            ea, information=jnp.asarray(info))})
+        pattern = build_ell_pattern(prob, edge_valid={key: valid})
+        self._parity(prob, pattern, "edge_valid")
