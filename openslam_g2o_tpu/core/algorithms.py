@@ -443,10 +443,18 @@ def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
     warm=True threads each accepted step's dx into the next step's PCG as a
     warm start — slower per iteration but converges much deeper per step
     near the basin (the polish-phase configuration). Returns
-    (params, lam, ni, chi, chi_trajectory [n_iters])."""
+    (params, lam, ni, chi, chi_trajectory [n_iters]).
+
+    chi=None computes the initial chi2 INSIDE the fused program — the
+    online engine's per-solve configuration: through a remote-tunnel TPU
+    each separate dispatch costs ~20 ms (round-5 measured floor), so the
+    standalone chi0 evaluation per solve was ~20% of the warm incremental
+    replay."""
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.solvers import _tree_dot
 
+    if chi is None:
+        chi = robust_chi2(prob.with_params(params))
     zerosT = {g.name: jnp.zeros((g.tangent_dim, g.count), prob.dtype)
               for g in prob.static.vgroups}
 

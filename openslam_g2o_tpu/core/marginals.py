@@ -333,12 +333,20 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
 
 def _gather_w_flat(problem: Problem, lin: dict, pg):
     """[L, K_l, Dp, dl] landmark-major coupling blocks W = Jc^T W_omega Jl,
-    masked on padding slots (the ba_ell W_lm layout, flat form)."""
+    masked on padding slots (the ba_ell W_lm layout, flat form).
+
+    EXPLICIT HIGHEST precision on the einsum: _build computes the same W
+    through elementwise VPU products (exact f32); this batched-tiny-matmul
+    form must match it, and on TPU the batched dot lowers to bf16 passes
+    otherwise — round-5 on-chip finding: the resulting ~8e-3 rounding of W
+    was the entire residual marginals spot-check gap (two independent
+    recovery implementations both measured a bit-identical 1.047e-2)."""
     ea = problem.edges[pg.egkey]
     resid, jacs, w = lin[pg.egkey]
     w_omega = w[:, None, None] * ea.information
     Jl, Jc = jacs[pg.lm_slot], jacs[pg.cam_slot]
-    W = jnp.einsum("eas,eab,ebt->est", Jc, w_omega, Jl)   # [E, Dp, dl]
+    W = jnp.einsum("eas,eab,ebt->est", Jc, w_omega, Jl,
+                   precision=jax.lax.Precision.HIGHEST)   # [E, Dp, dl]
     return W[pg.lm_edge_idx] * pg.lm_mask[:, :, None, None]
 
 

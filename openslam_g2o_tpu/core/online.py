@@ -472,21 +472,21 @@ class OnlineOptimizer:
             ni0 = jax.device_put(self._warm_ni, self._accel_dev)
         else:
             lam0, ni0 = self._warm_lam, self._warm_ni
-        chi0 = _jitted_robust_chi2()(prob)
-        # the whole solve is ONE device program (lax.scan over LM
-        # steps) + one result sync — through a remote-tunnel TPU each
-        # extra dispatch/sync costs more than the compute itself
+        # the whole solve is ONE device program (lax.scan over LM steps,
+        # chi0 computed inside — chi=None) + one result sync: through a
+        # remote-tunnel TPU each extra dispatch costs ~20 ms, which a
+        # separate chi0 evaluation per solve used to pay
         out5 = None
         if not on_cpu and key is not None:
             exe = self._compiled.get(key)
             if exe is not None:
                 try:
-                    out5 = exe(prob, pattern, prob.params, lam0, ni0, chi0)
+                    out5 = exe(prob, pattern, prob.params, lam0, ni0, None)
                 except Exception:
                     out5 = None     # aval/placement mismatch: jit path
         if out5 is None:
             out5 = lm_pcg_optimize_fused(
-                prob, pattern, prob.params, lam0, ni0, chi0, **statics)
+                prob, pattern, prob.params, lam0, ni0, None, **statics)
         params, lam, ni, chi, traj = out5
         if on_cpu:
             self._cpu_fallback_solves += 1
@@ -524,7 +524,7 @@ class OnlineOptimizer:
         abs_args = (absify(prob), absify(pattern), absify(prob.params),
                     jax.ShapeDtypeStruct((), prob.dtype),
                     jax.ShapeDtypeStruct((), prob.dtype),
-                    jax.ShapeDtypeStruct((), prob.dtype))
+                    None)      # chi=None: chi0 computed inside the program
 
         def compile_():
             with jax.default_device(self._accel_dev):
