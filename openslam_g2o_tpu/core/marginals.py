@@ -239,8 +239,15 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
         # operand pull plus ~40 GFLOP of dgemm on a [Tp, Tp] system,
         # sub-second at the 80k-observation bench shape.
         B2r = np.asarray(sys["B2"], dtype=np.float64).reshape(Tp, dl, L)
-        Hinv_np = np.asarray(jnp.moveaxis(Hinv_lane, -1, 0),
-                             dtype=np.float64)          # [L, dl, dl]
+        # landmark-block inverses ALSO in host f64: the f32 closed-form
+        # _inv_lane loses ~cond(Hll_j)*eps digits on poorly-conditioned
+        # landmark blocks, and every such error poisons S globally through
+        # the W Hinv W^T correction (round-5 bisect: the deterministic
+        # 1.05e-2 camera-block gap survived W- and recovery-level fixes —
+        # the inputs' only remaining divergence was this inverse)
+        Hll_np = np.moveaxis(np.asarray(Hll_d_lane, dtype=np.float64),
+                             -1, 0)                     # [L, dl, dl]
+        Hinv_np = np.linalg.inv(Hll_np)
         HB2 = np.einsum("ctl,utl->cul", B2r,
                         np.moveaxis(Hinv_np, 0, -1)).reshape(Tp, dl * L)
         B2f = B2r.reshape(Tp, dl * L)
