@@ -711,7 +711,15 @@ def run_marginals_80k():
     seconds = time.monotonic() - t0
 
     # independent HOST route: numpy scatter assembly of S from the flat
-    # per-landmark W tables, numpy Cholesky-free inverse
+    # per-landmark W tables, numpy inverse. The check derives its
+    # reference from THE SAME linearization/_build products the route
+    # consumes (passed via lin=/sys=) and runs at HIGHEST matmul
+    # precision: round 4 shipped a phantom 185% "failure" from bf16-pass
+    # inputs, and round 5 chased a phantom 1e-2 from comparing two
+    # SEPARATE f32 evaluations of the 8e4-term Hcc reductions (eager vs
+    # jitted fusion order, amplified ~1e3x through S^-1). Sharing the
+    # inputs is correct: the check's job is catching route-added
+    # assembly/densify/recovery bugs, not re-deriving shared input math.
     dt = prob.dtype
     lg = prob.static.vgroup(pattern.lm_name)
     dl, L = lg.tangent_dim, lg.count
@@ -719,24 +727,16 @@ def run_marginals_80k():
     cg = [g for g in prob.static.vgroups if g.offset < Tp][0]
     Dp = cg.tangent_dim
 
-    def build_parts(p):
-        s = BE._build(p, pattern, linearize(p))
-        return s["Hll"], s["groups"][cg.name]["Hcc"]
-
-    # the reference INPUTS must run at HIGHEST matmul precision: at TPU
-    # default every f32 matmul lowers to bf16 passes, and cond(S) ~ 1e9
-    # amplifies that ~1e-3 input noise to O(1) covariance error — round 4
-    # shipped exactly that as a phantom 185% "spot-check failure" (the
-    # route under test ran at highest precision, the check's own inputs
-    # did not; round-5 on-chip bisect: err 1.855 -> 6e-3 on this fix
-    # alone, CPU identical math 1.3e-3)
     from openslam_g2o_tpu.core.marginals import _gather_w_flat
     pg = pattern.proj[0]
     with jax.default_matmul_precision("highest"):
-        Hll, Hcc = jax.jit(build_parts)(prob)
         lin = jax.jit(linearize)(prob)
+        sys_ = jax.jit(lambda p, l: BE._build(p, pattern, l))(prob, lin)
+        Hll, Hcc = sys_["Hll"], sys_["groups"][cg.name]["Hcc"]
         W_lm = np.asarray(_gather_w_flat(prob, lin, pg),
                           dtype=np.float64)             # [L, K, Dp, dl]
+        cov = compute_marginals_schur(prob, pattern, lin=lin, sys=sys_)
+        jax.block_until_ready(cov)
     free_l = np.asarray(prob.free[lg.name], dtype=np.float64)
     Hll_np = np.moveaxis(np.asarray(Hll, dtype=np.float64), -1, 0)
     Hll_np += (1.0 - free_l)[:, None, None] * np.eye(dl)

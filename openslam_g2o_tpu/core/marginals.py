@@ -143,19 +143,30 @@ def _pair_tiles(K: int, tile: int = 32):
     return [(a, min(a + tile, K)) for a in starts]
 
 
-def compute_marginals_schur(problem: Problem, pattern=None):
+def compute_marginals_schur(problem: Problem, pattern=None, lin=None,
+                            sys=None):
     """See _compute_marginals_schur_impl. Runs under
     default_matmul_precision('highest'): the TPU default lowers every f32
     matmul/einsum/Cholesky-internal product to bf16 passes, and the
     UNDAMPED reduced system here sits one pinned gauge away from singular
     — bf16 noise makes it indefinite and the factorization NaNs
     (reproduced on-chip round 4; CPU f32 identical math is fine). The
-    covariance path is seconds-scale, so the 3x matmul cost is noise."""
+    covariance path is seconds-scale, so the 3x matmul cost is noise.
+
+    lin/sys: optional precomputed linearization / _build products. A
+    verification harness MUST pass the same objects it derives its
+    reference from: two separate f32 evaluations of the 8e4-term Hcc
+    reductions differ by ~sqrt(E)*eps between fusion orders (eager vs
+    jitted), and the ~1e3-effective-conditioned S inverse amplifies that
+    to ~1e-2 in the recovered blocks — round-5 on-chip bisect chased
+    exactly this phantom after every genuine route input (W, B2, Hinv)
+    had been verified equal."""
     with jax.default_matmul_precision("highest"):
-        return _compute_marginals_schur_impl(problem, pattern)
+        return _compute_marginals_schur_impl(problem, pattern, lin, sys)
 
 
-def _compute_marginals_schur_impl(problem: Problem, pattern=None):
+def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
+                                  sys=None):
     """All per-vertex diagonal covariance blocks at BA scale WITHOUT the
     dense H: {group: [N, D, D]}.
 
@@ -189,8 +200,10 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None):
     if pattern is None:
         pattern = build_ba_ell_pattern(problem)
     dt = problem.dtype
-    lin = linearize(problem)
-    sys = _build(problem, pattern, lin)
+    if lin is None:
+        lin = linearize(problem)
+    if sys is None:
+        sys = _build(problem, pattern, lin)
     L, dl, Tp = sys["L"], sys["dl"], sys["Tp"]
     lg = problem.static.vgroup(pattern.lm_name)
     free_l = problem.free[lg.name]
