@@ -200,10 +200,14 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
     if pattern is None:
         pattern = build_ba_ell_pattern(problem)
     dt = problem.dtype
-    if lin is None:
-        lin = linearize(problem)
-    if sys is None:
-        sys = _build(problem, pattern, lin)
+    if lin is None or sys is None:
+        # ONE jitted device program for the whole O(E) phase: the eager
+        # form paid a ~20 ms remote dispatch per op (round-5 measured
+        # floor) — seconds of pure dispatch at the 80k shape
+        def _device(p, pat):
+            l = linearize(p)
+            return l, _build(p, pat, l)
+        lin, sys = jax.jit(_device)(problem, pattern)
     L, dl, Tp = sys["L"], sys["dl"], sys["Tp"]
     lg = problem.static.vgroup(pattern.lm_name)
     free_l = problem.free[lg.name]
@@ -212,12 +216,15 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
     # already masked to zero by linearize). _build returns lane-major
     # [dl, dl, L] stacks (the ba_ell hot-loop layout).
     Hll_d_lane = sys["Hll"] + _eye_lane(dl, dt) * (1.0 - free_l)[None, None]
-    Hinv_lane = _inv_lane(Hll_d_lane)                    # [dl, dl, L]
-    Hinv = jnp.moveaxis(Hinv_lane, -1, 0)                # [L, dl, dl]
 
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
     use_dense = dense_schur_ok(problem, pattern) and sys["B2"] is not None
+    if not use_dense:
+        # f32 on-chip landmark inverses (the dense route inverts in host
+        # f64 instead — see below)
+        Hinv_lane = _inv_lane(Hll_d_lane)                # [dl, dl, L]
+        Hinv = jnp.moveaxis(Hinv_lane, -1, 0)            # [L, dl, dl]
 
     # ---- dense reduced system S over the pose tangent block -------------
     S = jnp.zeros((Tp, Tp), dtype=dt)
@@ -247,17 +254,30 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
         # the round-5 on-chip bisect measured at ~1e-2 relative block
         # error: the 3e4-term f32 S-correction contractions leave
         # dS/S ~ 1e-5 that the ~1e3-conditioned inverse amplifies). The
-        # heavy O(E) work — linearize, W products, the one-hot densify —
-        # already ran on-chip in _build; what moves here is one [Tp, dl*L]
-        # operand pull plus ~40 GFLOP of dgemm on a [Tp, Tp] system,
-        # sub-second at the 80k-observation bench shape.
-        B2r = np.asarray(sys["B2"], dtype=np.float64).reshape(Tp, dl, L)
+        # heavy O(E) work — linearize, the W/Hll/Hcc products — already
+        # ran on-chip in ONE jitted program; what moves here is the
+        # [L, K, Dp, dl] W table (5.8 MB at the 80k bench shape — the
+        # dense [Tp, dl*L] B2 would be 72 MB through the tunnel, so the
+        # one-hot densify re-runs on the host in f64 instead) plus
+        # ~40 GFLOP of dgemm on a [Tp, Tp] system.
+        B2r = np.zeros((Tp, dl, L))
+        for pd in sys["proj"]:
+            pgp = pd["pg"]
+            off, Dp_g = cam_offsets(pgp)
+            W_np = np.asarray(_gather_w_flat(problem, lin, pgp),
+                              dtype=np.float64)         # [L, K, Dp, dl]
+            lm_cam = np.asarray(pgp.lm_cam)
+            acc = np.zeros((problem.static.vgroup(pgp.cam_group).count,
+                            L, Dp_g, dl))
+            ls = np.arange(L)
+            for k in range(lm_cam.shape[1]):
+                np.add.at(acc, (lm_cam[:, k], ls), W_np[:, k])
+            B2r[off:off + acc.shape[0] * Dp_g] += np.moveaxis(
+                acc, 1, -1).reshape(-1, dl, L)
         # landmark-block inverses ALSO in host f64: the f32 closed-form
         # _inv_lane loses ~cond(Hll_j)*eps digits on poorly-conditioned
         # landmark blocks, and every such error poisons S globally through
-        # the W Hinv W^T correction (round-5 bisect: the deterministic
-        # 1.05e-2 camera-block gap survived W- and recovery-level fixes —
-        # the inputs' only remaining divergence was this inverse)
+        # the W Hinv W^T correction
         Hll_np = np.moveaxis(np.asarray(Hll_d_lane, dtype=np.float64),
                              -1, 0)                     # [L, dl, dl]
         Hinv_np = np.linalg.inv(Hll_np)
