@@ -136,6 +136,25 @@ def compute_marginals_pairs(problem: Problem, graph, pairs):
     return out
 
 
+_DEVICE_JIT = None
+
+
+def _device_products(problem, pattern):
+    """linearize + ba_ell._build as ONE cached jitted program (a
+    per-call jit of a locally-defined function would recompile every
+    invocation — 17 s/call through the remote compile service)."""
+    global _DEVICE_JIT
+    if _DEVICE_JIT is None:
+        from openslam_g2o_tpu.core.ba_ell import _build
+
+        def f(p, pat):
+            l = linearize(p)
+            return l, _build(p, pat, l)
+
+        _DEVICE_JIT = jax.jit(f)
+    return _DEVICE_JIT(problem, pattern)
+
+
 def _pair_tiles(K: int, tile: int = 32):
     """Static (k0, k1) tile pairs covering the [K, K] neighbor-pair square —
     bounds peak memory of the L x K x K block tensors at BA scale."""
@@ -204,10 +223,7 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
         # ONE jitted device program for the whole O(E) phase: the eager
         # form paid a ~20 ms remote dispatch per op (round-5 measured
         # floor) — seconds of pure dispatch at the 80k shape
-        def _device(p, pat):
-            l = linearize(p)
-            return l, _build(p, pat, l)
-        lin, sys = jax.jit(_device)(problem, pattern)
+        lin, sys = _device_products(problem, pattern)
     L, dl, Tp = sys["L"], sys["dl"], sys["Tp"]
     lg = problem.static.vgroup(pattern.lm_name)
     free_l = problem.free[lg.name]
