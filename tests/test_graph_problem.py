@@ -332,6 +332,14 @@ def test_fused_lm_runner_matches_per_step():
     np.testing.assert_allclose(float(chi_f), float(st[3]), rtol=1e-6)
     assert traj.shape == (5,)
 
+    # chi=None computes the initial chi2 inside the fused program (the
+    # online engine's one-dispatch-per-solve configuration) — identical
+    # trajectory
+    _, _, _, chi_n, _ = lm_pcg_optimize_fused(
+        prob, pattern, prob.params, lam, ni, None, n_iters=5,
+        pcg_iters=100, pcg_tol=0.05)
+    np.testing.assert_allclose(float(chi_n), float(chi_f), rtol=1e-6)
+
 
 def test_fused_trial_per_iter_matches_while_step():
     """trial_per_iter=True must walk the while-loop step's trajectory:
