@@ -61,6 +61,37 @@ def _load_problem(dtype):
     return g, g.compile(dtype=dtype)
 
 
+def _timed_window(run, st, n_iters, floor_s_per_iter=2e-4):
+    """Robust fused-window timing: 3 repeats with a PERTURBED lambda per
+    repeat (defeats any remote-service result caching of identical
+    program+input executions), MEDIAN instead of min, and a physical-floor
+    guard — the round-5 dress run once recorded 0.31 ms for a 10-LM-iter
+    Manhattan window (32k it/s, unphysical: one LM iteration costs at
+    least one PCG iteration) that 7/7 immediate re-probes could not
+    reproduce; a headline must never ride such an artifact. If the median
+    still sits under the floor, fall back to timing with a forced value
+    fetch inside the window (real data, dispatch-inflated — a safe
+    UNDERestimate of throughput)."""
+    import jax
+
+    def sample(i, fetch=False):
+        stp = (st[0], st[1] * (1.0 + 1e-7 * (i + 1)), st[2], st[3])
+        t0 = time.monotonic()
+        out = run(stp)
+        jax.block_until_ready(out[0])
+        if fetch:
+            float(out[3])
+        return time.monotonic() - t0
+
+    samples = sorted(sample(i) for i in range(3))
+    elapsed = samples[1]
+    if elapsed < floor_s_per_iter * n_iters:
+        _progress(f"timed window median {elapsed*1e3:.2f} ms is below the "
+                  f"physical floor — re-timing with value fetch")
+        elapsed = sorted(sample(i, fetch=True) for i in range(3))[1]
+    return elapsed
+
+
 def run_tpu_manhattan():
     """Time LM iterations on the TPU (matrix-free lane-major block-ELL PCG,
     the TPU-native fast path), then converge with a tight-tolerance polish
@@ -100,15 +131,7 @@ def run_tpu_manhattan():
                                             pcg_iters=100, pcg_tol=0.15)
     out = run10(st)                     # compile
     jax.block_until_ready(out[0])
-    # best-of-3 over the SAME window state: each repeat reruns the identical
-    # 10-step program, so the minimum removes tunnel/host jitter without
-    # changing what is measured
-    elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        out = run10(st)
-        jax.block_until_ready(out[0])
-        elapsed = min(elapsed, time.monotonic() - t0)
+    elapsed = _timed_window(run10, st, n_iters=10)
     st = out[:4]
     # converge: more forcing steps, then warm-started tight-tolerance polish
     # toward the reference minimum (146.076 at f32). NOTE the basin is very
@@ -594,12 +617,8 @@ def run_pose_graph_100k():
     jax.block_until_ready(out[0])
     compile_s = time.monotonic() - t0
     st = out[:4]
-    elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.monotonic()
-        out = run(st, 10)
-        jax.block_until_ready(out[0])
-        elapsed = min(elapsed, time.monotonic() - t0)
+    elapsed = _timed_window(lambda s: run(s, 10), st, n_iters=10)
+    out = run(st, 10)
     st = out[:4]
     floor = info["noise_floor_chi2"]
     for _ in range(8):
