@@ -114,8 +114,8 @@ def _record(passed, worst, cpu_traj, tpu_traj):
             "chi2_parity_worst_rel_gap": worst,
             "cpu_trajectory": [round(c, 1) for c in cpu_traj],
             "tpu_trajectory": [round(t, 1) for t in tpu_traj],
-            "checked_utc": datetime.datetime.utcnow().isoformat(
-                timespec="seconds"),
+            "checked_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
         }, fh, indent=1)
 
 
