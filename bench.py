@@ -997,11 +997,15 @@ def run_incremental():
                 oo.add_edge(e.etype.name, e.vertex_ids, e.measurement,
                             e.information)
             if k > 0 and k % 50 == 0:
-                oo.solve()
+                # want_stats=False skips the per-solve trajectory fetch
+                # (one ~20 ms device->host sync through the tunnel) — the
+                # protocol replay does not consume stats, same as the
+                # reference CLI's non-verbose incremental mode
+                oo.solve(want_stats=False)
                 if first_solve is None:
                     first_solve = time.monotonic() - t0
                 n_solves += 1
-        oo.solve()
+        oo.solve(want_stats=False)
         n_solves += 1
         return oo, n_solves, time.monotonic() - t0, first_solve
 

@@ -122,7 +122,10 @@ class SlamInterface:
                 self._first_fixed = True
 
     def solve_state(self):
-        self.oo.solve()
+        # the protocol's SOLVE_STATE response carries estimates, not
+        # per-iteration stats — skip the trajectory fetch (one device
+        # sync per solve through a remote-tunnel TPU)
+        self.oo.solve(want_stats=False)
 
     def query_state(self, vids):
         print("BEGIN", file=self.out)

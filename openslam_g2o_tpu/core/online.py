@@ -343,7 +343,8 @@ class OnlineOptimizer:
 
     # -- solving -----------------------------------------------------------
 
-    def solve(self, iterations: Optional[int] = None):
+    def solve(self, iterations: Optional[int] = None,
+              want_stats: bool = True):
         """Re-linearize and run a few iterations, warm-started from the
         current estimates; result lands back in the incremental tables.
 
@@ -362,7 +363,7 @@ class OnlineOptimizer:
                    for buf in self._vbufs.values() if buf.n):
             self.fix(next(iter(self._graph.vertices)))
         if getattr(self.algorithm, "name", "") == "lm_pcg":
-            return self._solve_fast(iterations)
+            return self._solve_fast(iterations, want_stats)
         prob = self._build_problem()
         if prob.static != self._last_static:
             self._compiles += 1
@@ -375,7 +376,7 @@ class OnlineOptimizer:
         self._solves += 1
         return stats
 
-    def _solve_fast(self, iterations):
+    def _solve_fast(self, iterations, want_stats=True):
         """The pattern-based LM-PCG solve with the background-warmup state
         machine (see __init__). States:
         * accelerator-warm (or no accelerator): build + solve on the
@@ -492,12 +493,13 @@ class OnlineOptimizer:
             self._cpu_fallback_solves += 1
         self._warm_lam, self._warm_ni = lam, ni
         out = prob.with_params(params)
-        stats = [{"chi2": float(c)} for c in np.asarray(traj)]
         for name, buf in self._vbufs.items():
             buf.params[:buf.n] = np.asarray(out.params[name])[:buf.n]
         self._graph_dirty = True
         self._solves += 1
-        return stats
+        if not want_stats:
+            return []
+        return [{"chi2": float(c)} for c in np.asarray(traj)]
 
     def drain_warmup(self, timeout=None):
         """Block until every background warmup compile has finished (used
