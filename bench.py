@@ -342,17 +342,13 @@ def run_tpu_ba(n_cams, n_points, obs_per_point, pcg_iters, pcg_tol,
             pcg_tol=pcg_tol)
         out = run(st, n_timed)          # compile
         jax.block_until_ready(out[0])
-        # best-of-3 over the SAME window state (the Manhattan
-        # methodology): each repeat reruns the identical program from the
-        # init state, so the window spans real descent into the basin
-        # plus the plateau's lambda oscillation — the minimum removes
-        # tunnel/host jitter without changing what is measured
-        elapsed = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            out = run(st, n_timed)
-            jax.block_until_ready(out[0])
-            elapsed = min(elapsed, time.monotonic() - t0)
+        # robust window timing (_timed_window): perturbed lambda per
+        # repeat + median — the remote service can serve a CACHED result
+        # for an identical (program, inputs) re-execution (round-5
+        # discovery; it once returned a 10-iter window in 0.31 ms)
+        elapsed = _timed_window(lambda s: run(s, n_timed), st,
+                                n_iters=n_timed)
+        out = run(st, n_timed)
         st = out[:4]
         for _ in range(max(n_converge // n_timed, 1)):
             out = run(st, n_timed)
@@ -668,8 +664,10 @@ def run_pose_graph_100k():
         out = jf(hot_vals, bT)
         jax.block_until_ready(out)
         t0 = time.monotonic()
-        for _ in range(5):
-            out = jf(hot_vals, bT)
+        for r in range(5):
+            # perturbed rhs per repeat (remote result-cache defense)
+            out = jf(hot_vals, {k: v * (1.0 + 1e-9 * (r + 1))
+                                for k, v in bT.items()})
         jax.block_until_ready(out)
         return (time.monotonic() - t0) / 5
 
@@ -724,8 +722,12 @@ def run_marginals_80k():
     pattern = BE.build_ba_ell_pattern(prob)
     cov = compute_marginals_schur(prob, pattern)
     jax.block_until_ready(cov)
+    # timed on a PERTURBED problem (remote result-cache defense: an
+    # identical re-execution of the device phase can be served cached)
+    probt = prob.with_params({k: v * (1.0 + 1e-9)
+                              for k, v in prob.params.items()})
     t0 = time.monotonic()
-    cov = compute_marginals_schur(prob, pattern)
+    cov = compute_marginals_schur(probt, pattern)
     jax.block_until_ready(cov)
     seconds = time.monotonic() - t0
 
@@ -927,8 +929,11 @@ def run_pcg_roofline():
         out = jf(values, bT)
         jax.block_until_ready(out)
         t0 = time.monotonic()
-        for _ in range(5):
-            out = jf(values, bT)
+        for r in range(5):
+            # perturbed rhs per repeat: identical (program, input)
+            # re-executions can be served from a remote result cache
+            out = jf(values, {k: v * (1.0 + 1e-9 * (r + 1))
+                              for k, v in bT.items()})
         jax.block_until_ready(out)
         return (time.monotonic() - t0) / 5
 
