@@ -633,11 +633,12 @@ def run_pose_graph_100k():
             break
         out = pol(st)
         st = out[:4]
-    # per-CG-iteration roofline (two fixed-budget solves, differenced) —
-    # the HOT-loop configuration: K-major values + the round-4 DIA band
-    # split (on this serpentine graph every neighbor offset is one of
-    # {0, +-1, +-sweep}, so the matvec runs with ZERO gathers — measured
-    # 1698 -> 35 us/iteration, 48.6x, at its HBM bound)
+    # per-CG-iteration roofline (carry-serialized scan differencing) —
+    # the HOT-loop configuration: DIA-direct assembled values (on this
+    # serpentine graph every neighbor offset is one of {0, +-1, +-sweep},
+    # so the matvec runs with ZERO gathers); NOTE rounds 3-4 quoted
+    # 35 us/iteration from repeat-the-call timing, which the remote
+    # service's result caching under-measured ~3x
     from openslam_g2o_tpu.core.problem import linearize
     from openslam_g2o_tpu.core.sparse import (
         assemble_hot, ell_matvec_lane_kmajor_hot, hot_split)
@@ -647,31 +648,7 @@ def run_pose_graph_100k():
     hot, b = assemble_hot(work, pattern, lin)
     bT = {k: v.T for k, v in b.items()}
 
-    # the hot entries carry static "dia"/"k" tags — close over them (they
-    # are produced and consumed inside one traced region on the real path)
-    hot_vals = tuple(v for e in hot for v in e[1:] if v is not None)
-
-    def solve_n(n):
-        def f(hot_vals, bT):
-            it = iter(hot_vals)
-            ops = tuple((e[0], next(it), None if e[2] is None else next(it))
-                        for e in hot)
-            ops = hot_split(work, pattern, ops)
-            mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, ops,
-                                                       xT)
-            return pcg_solve(mv, bT, max_iter=n, tol=0.0, unroll=2)
-        jf = jax.jit(f)
-        out = jf(hot_vals, bT)
-        jax.block_until_ready(out)
-        t0 = time.monotonic()
-        for r in range(5):
-            # perturbed rhs per repeat (remote result-cache defense)
-            out = jf(hot_vals, {k: v * (1.0 + 1e-9 * (r + 1))
-                                for k, v in bT.items()})
-        jax.block_until_ready(out)
-        return (time.monotonic() - t0) / 5
-
-    per_iter = max((solve_n(110) - solve_n(10)) / 100, 1e-9)
+    per_iter = _scan_differenced_cg_iteration(work, pattern, hot, bT)
     cost = RL.ell_pcg_iteration_cost(prob, pattern)
     return {
         "n_poses": 100000,
@@ -686,6 +663,56 @@ def run_pose_graph_100k():
         "compile_seconds_first_window": round(compile_s, 1),
         "cg_iteration_roofline": RL.roofline_report(cost, per_iter),
     }
+
+
+def _scan_differenced_cg_iteration(work, pattern, hot, bT, n_cg=100,
+                                   k_lo=2, k_hi=8):
+    """Per-CG-iteration time by CARRY-SERIALIZED scan differencing: a
+    lax.scan whose body perturbs its rhs through the carry re-executes the
+    whole 100-iteration CG solve every scan step — the only timing
+    methodology robust to BOTH XLA hoisting and the remote service's
+    result caching of identical (program, input) executions. Round-5
+    finding: the old repeat-the-same-call averaging measured 32-43 us per
+    iteration where the true cost is ~105 us — cached re-executions
+    returned at the dispatch floor; the end-to-end LM window arithmetic
+    only closes with the scan-differenced number."""
+    import jax
+    import jax.numpy as jnp
+    from openslam_g2o_tpu.core.sparse import (
+        ell_matvec_lane_kmajor_hot, hot_split)
+    from openslam_g2o_tpu.core.solvers import pcg_solve
+
+    def make(K):
+        def f(hot, bT, seed):
+            ops = hot_split(work, pattern, hot)
+            mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, ops,
+                                                       xT)
+
+            def body(carry, _):
+                fc = 1.0 + (carry - jnp.floor(carry)) * 1e-5 + 1e-6
+                sol, ok = pcg_solve(
+                    mv, {k: v * fc for k, v in bT.items()},
+                    max_iter=n_cg, tol=0.0, unroll=2)
+                return carry + jnp.abs(sol[list(sol)[0]]).mean() * 0.1, None
+
+            c, _ = jax.lax.scan(body, seed, None, length=K)
+            return c
+        return jax.jit(f)
+
+    def timed(jf):
+        seed = jnp.asarray(0.321, work.dtype)
+        out = jf(hot, bT, seed)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for r in range(2):
+            t0 = time.monotonic()
+            out = jf(hot, bT, seed * (1.0 + 1e-6 * (r + 1)))
+            jax.block_until_ready(out)
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    t_lo, t_hi = timed(make(k_lo)), timed(make(k_hi))
+    return max((t_hi - t_lo) / ((k_hi - k_lo) * n_cg), 1e-9)
 
 
 def run_marginals_80k():
@@ -918,27 +945,40 @@ def run_pcg_roofline():
                  for g in work.static.vgroups}
     extraT = {k: lam * f + (1.0 - f) for k, f in free_lane.items()}
 
-    def solve_n(n):
-        def f(values, bT):
+    # carry-serialized scan differencing (see
+    # _scan_differenced_cg_iteration for why repeat-the-call averaging is
+    # not trustworthy through the remote service)
+    def make(K, n):
+        def f(values, bT, seed):
             mv = lambda xT: ell_matvec_lane(work, pattern, values, xT,
                                             extra_diagT=extraT)
             pre = block_jacobi_preconditioner_lane(work, diag, lam)
-            return pcg_solve(mv, bT, precond=pre, max_iter=n, tol=0.0,
-                             unroll=2)
-        jf = jax.jit(f)
-        out = jf(values, bT)
-        jax.block_until_ready(out)
-        t0 = time.monotonic()
-        for r in range(5):
-            # perturbed rhs per repeat: identical (program, input)
-            # re-executions can be served from a remote result cache
-            out = jf(values, {k: v * (1.0 + 1e-9 * (r + 1))
-                              for k, v in bT.items()})
-        jax.block_until_ready(out)
-        return (time.monotonic() - t0) / 5
 
-    t10, t110 = solve_n(10), solve_n(110)
-    per_iter = max((t110 - t10) / 100, 1e-9)
+            def body(carry, _):
+                fc = 1.0 + (carry - jnp.floor(carry)) * 1e-5 + 1e-6
+                sol, ok = pcg_solve(mv, {k: v * fc for k, v in bT.items()},
+                                    precond=pre, max_iter=n, tol=0.0,
+                                    unroll=2)
+                return carry + jnp.abs(sol[list(sol)[0]]).mean() * 0.1, None
+
+            c, _ = jax.lax.scan(body, seed, None, length=K)
+            return c
+        return jax.jit(f)
+
+    def timed(jf):
+        seed = jnp.asarray(0.321, prob.dtype)
+        out = jf(values, bT, seed)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for r in range(2):
+            t0 = time.monotonic()
+            out = jf(values, bT, seed * (1.0 + 1e-6 * (r + 1)))
+            jax.block_until_ready(out)
+            best = min(best, time.monotonic() - t0)
+        return best
+
+    t_lo, t_hi = timed(make(2, 100)), timed(make(8, 100))
+    per_iter = max((t_hi - t_lo) / (6 * 100), 1e-9)
     cost = RL.ell_pcg_iteration_cost(prob, pattern)
     return RL.roofline_report(cost, per_iter)
 
