@@ -629,11 +629,15 @@ def assemble_ell(problem, pattern: EllPattern, lin: dict):
     return tuple(values), _assemble_b(problem, pattern, bvecs)
 
 
-def _assemble_b(problem, pattern: EllPattern, bvecs):
-    """Gradient accumulation b = -J^T W r per vertex group (row-major)."""
+def _assemble_b(problem, pattern: EllPattern, bvecs, skip=()):
+    """Gradient accumulation b = -J^T W r per vertex group (row-major).
+    Groups in `skip` were accumulated by the folded self-plane gather
+    (assemble_hot) and are omitted here."""
     dt = problem.dtype
     b = {}
     for g in problem.static.vgroups:
+        if g.name in skip:
+            continue
         D = g.tangent_dim
         srcs = pattern.b_sources.get(g.name, ())
         if not srcs:
@@ -992,6 +996,7 @@ def assemble_hot(problem, pattern: EllPattern, lin: dict):
     dt = problem.dtype
     blocks, bvecs = _edge_blocks(problem, lin)
     hot = []
+    b_folded = {}
     for pid, (rg_name, cg_name) in enumerate(pattern.pairs):
         rg = problem.static.vgroup(rg_name)
         cg = problem.static.vgroup(cg_name)
@@ -1007,10 +1012,25 @@ def assemble_hot(problem, pattern: EllPattern, lin: dict):
         stream = _pair_stream(problem, pattern, blocks, pid, Dr, Dc)
         planes = []
         if has_self:
-            g = jnp.take(stream, s_idx.reshape(-1), axis=1)
-            g = g.reshape(Dr * Dc, Ms, N)
-            planes.append((g * s_mask.astype(dt)[None]).sum(
-                axis=1, keepdims=True))
+            # fold the GRADIENT accumulation into the self-plane gather:
+            # b's contributor set for this group is exactly the (s, s)
+            # incidence set the self table indexes — appending the b rows
+            # to the stream at the (s, s) segments makes one [Dr*Dc+Dr,
+            # Ms, N] gather serve both (round 5: the separate b gather
+            # measured 2.9 ms of the 100k trial; the 3 extra rows on the
+            # existing gather cost ~1 ms)
+            srcs = [key for key, p in pattern.pair_of if p == pid]
+            bseg = [jnp.swapaxes(bvecs[(k, s)], 0, 1) if s == t
+                    else jnp.zeros((Dr, blocks[(k, s, t)].shape[0]),
+                                   dtype=dt)
+                    for (k, s, t) in srcs]
+            stream_b = jnp.concatenate(
+                [stream, jnp.concatenate(bseg, axis=1)], axis=0)
+            g = jnp.take(stream_b, s_idx.reshape(-1), axis=1)
+            g = (g.reshape(Dr * Dc + Dr, Ms, N)
+                 * s_mask.astype(dt)[None]).sum(axis=1)
+            planes.append(g[:Dr * Dc, None])
+            b_folded[rg_name] = g[Dr * Dc:].T          # [N, Dr]
         if m_off:
             if o_idx is None:
                 planes.append(jnp.zeros((Dr * Dc, m_off, N), dtype=dt))
@@ -1028,7 +1048,9 @@ def assemble_hot(problem, pattern: EllPattern, lin: dict):
             g = g.reshape(Dr * Dc, Mr, kr, N)
             V_res = (g * r_mask.astype(dt).reshape(1, Mr, kr, N)).sum(axis=1)
         hot.append(("dia", V_dia, V_res))
-    return tuple(hot), _assemble_b(problem, pattern, bvecs)
+    b = _assemble_b(problem, pattern, bvecs, skip=b_folded)
+    b.update(b_folded)
+    return tuple(hot), b
 
 
 def hot_diag_blocks(problem, pattern: EllPattern, hot):
