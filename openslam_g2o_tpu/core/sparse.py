@@ -75,10 +75,10 @@ def bmv_small(A, v):
                       "b_idx", "b_mask", "self_mask", "tier_rows",
                       "tier_lo_nbT", "tier_hi_nbT", "dia_src", "dia_mask",
                       "res_srcT", "res_nbT", "res_maskT", "contrib_base",
-                      "b_base", "dia_asm"],
+                      "b_base", "dia_asm", "dia_sh"],
          meta_fields=["pairs", "K", "pair_of", "contrib_m", "b_m",
                       "b_sources", "tier_kb", "dia_offsets", "res_k",
-                      "dia_asm_m"])
+                      "dia_asm_m", "dia_sh_meta"])
 @dataclass
 class EllPattern:
     """Static-topology ELL pattern for the whole block Hessian.
@@ -155,6 +155,7 @@ class EllPattern:
     contrib_base: tuple
     b_base: dict
     dia_asm: tuple
+    dia_sh: tuple
     pairs: tuple
     K: tuple
     pair_of: tuple
@@ -165,6 +166,7 @@ class EllPattern:
     dia_offsets: tuple
     res_k: tuple
     dia_asm_m: tuple
+    dia_sh_meta: tuple
 
     def pair_table(self, key):
         return dict(self.pair_of)[key]
@@ -298,6 +300,8 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
     contrib_base_l = []
     dia_asm_l = []
     dia_asm_m_l = []
+    dia_sh_l = []
+    dia_sh_m_l = []
     for key in pair_names:
         rg = problem.static.vgroup(key[0])
         cg = problem.static.vgroup(key[1])
@@ -434,6 +438,7 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
         # split layout with ~sum(actual contributions) gathered elements
         # instead of N*K*M_max
         d_asm, d_asm_meta = None, None
+        d_sh, d_sh_meta = None, None
         if d_sel is not None and (key[0] != key[1] or d_sel[0] == 0):
             rows_c = all_rows[vmask]
             off_c = all_cols[vmask] - rows_c
@@ -462,6 +467,55 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
             sub_self = np.nonzero(is_self_c)[0]
             sub_off = np.nonzero(in_plane)[0]
             sub_res = np.nonzero(~is_self_c & ~in_plane)[0]
+
+            # STREAM-SHIFT split (round 5): contributions whose
+            # dest_row - stream_position is CONSTANT over a large group
+            # (trajectory-ordered odometry: edge e connects poses
+            # (e, e+1), so its diagonal/off-diagonal blocks sit at fixed
+            # offsets from its stream slot) assemble as pure STATIC
+            # SLICES of the contribution stream — zero gather cost, and
+            # the remaining contributor tables shrink their M. Masks
+            # cover the conforming rows; non-conforming contributions
+            # stay in the gather tables.
+            pos_c = (np.arange(len(rows_c), dtype=np.int64)
+                     if spos is None else spos.astype(np.int64))
+            L_stream = len(all_rows)
+            sh_masks = []
+            sh_meta = []
+
+            def _extract_shifts(sub, plane_idx, use_b):
+                if not len(sub):
+                    return sub
+                deltas = rows_c[sub] - pos_c[sub]
+                vals_d, cnts_d = np.unique(deltas, return_counts=True)
+                keep = np.ones(len(sub), dtype=bool)
+                for v, cnt in zip(vals_d, cnts_d):
+                    neg_c = int(-v)
+                    if cnt < max(0.3 * rg.count, 512):
+                        continue
+                    if not (0 <= neg_c <= L_stream - rg.count):
+                        continue
+                    mm = deltas == v
+                    mask = np.zeros(rg.count, dtype=np.float32)
+                    mask[rows_c[sub[mm]]] = 1.0
+                    sh_masks.append(jnp.asarray(mask))
+                    sh_meta.append((plane_idx, neg_c, bool(use_b)))
+                    keep &= ~mm
+                return sub[keep]
+
+            if sel_off and len(sub_off):
+                so_ = np.argsort(sel_off)
+                sso_ = np.asarray(sel_off)[so_]
+                po_all = so_[np.searchsorted(sso_, off_c[sub_off])]
+                base_j = 1 if has_self else 0
+                new_sub = [
+                    _extract_shifts(sub_off[po_all == j], base_j + j,
+                                    False)
+                    for j in range(len(sel_off))]
+                sub_off = (np.concatenate(new_sub) if new_sub
+                           else sub_off)
+            if has_self:
+                sub_self = _extract_shifts(sub_self, 0, True)
             parts = []
             ok = True
             if has_self:
@@ -499,8 +553,13 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                               parts[1][2] if parts[1] else 0,
                               parts[2][2] if parts[2] else 0,
                               len(sel_off), has_self)
+                if sh_masks:
+                    d_sh = tuple(sh_masks)
+                    d_sh_meta = tuple(sh_meta)
         dia_asm_l.append(d_asm)
         dia_asm_m_l.append(d_asm_meta)
+        dia_sh_l.append(d_sh)
+        dia_sh_m_l.append(d_sh_meta)
 
     # b contributor tables, one stream per vertex group
     b_idx = {}
@@ -547,10 +606,11 @@ def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:
                       tuple(dia_src_l), tuple(dia_mask_l), tuple(res_srcT_l),
                       tuple(res_nbT_l), tuple(res_maskT_l),
                       tuple(contrib_base_l), b_base, tuple(dia_asm_l),
+                      tuple(dia_sh_l),
                       tuple(pair_names), tuple(Ks), tuple(pair_of),
                       tuple(contrib_m), b_m, b_sources, tuple(tier_kb_l),
                       tuple(dia_offsets_l), tuple(res_k_l),
-                      tuple(dia_asm_m_l))
+                      tuple(dia_asm_m_l), tuple(dia_sh_m_l))
 
 
 def _edge_blocks(problem, lin):
@@ -1010,15 +1070,14 @@ def assemble_hot(problem, pattern: EllPattern, lin: dict):
         Ms, Mo, Mr, m_off, has_self = pattern.dia_asm_m[pid]
         N = rg.count
         stream = _pair_stream(problem, pattern, blocks, pid, Dr, Dc)
-        planes = []
+        stream_b = None
         if has_self:
-            # fold the GRADIENT accumulation into the self-plane gather:
+            # fold the GRADIENT accumulation into the self-plane path:
             # b's contributor set for this group is exactly the (s, s)
-            # incidence set the self table indexes — appending the b rows
-            # to the stream at the (s, s) segments makes one [Dr*Dc+Dr,
-            # Ms, N] gather serve both (round 5: the separate b gather
-            # measured 2.9 ms of the 100k trial; the 3 extra rows on the
-            # existing gather cost ~1 ms)
+            # incidence set — appending the b rows to the stream at the
+            # diagonal segments makes the self gather AND the self-plane
+            # stream shifts serve both (round 5: the separate b gather
+            # measured 2.9 ms of the 100k trial)
             srcs = [key for key, p in pattern.pair_of if p == pid]
             bseg = [jnp.swapaxes(bvecs[(k, s)], 0, 1) if s == t
                     else jnp.zeros((Dr, blocks[(k, s, t)].shape[0]),
@@ -1026,19 +1085,43 @@ def assemble_hot(problem, pattern: EllPattern, lin: dict):
                     for (k, s, t) in srcs]
             stream_b = jnp.concatenate(
                 [stream, jnp.concatenate(bseg, axis=1)], axis=0)
+        # stream-shift contributions (pattern.dia_sh): pure static slices
+        # of the stream, masked to the conforming rows — zero gathers
+        sh_adds = {}
+        b_sh = None
+        if pattern.dia_sh_meta[pid]:
+            for mask, (j, neg_c, use_b) in zip(pattern.dia_sh[pid],
+                                               pattern.dia_sh_meta[pid]):
+                src = stream_b if use_b else stream
+                sl = jax.lax.slice_in_dim(src, neg_c, neg_c + N, axis=1) \
+                    * mask[None].astype(dt)
+                sh_adds[j] = sh_adds.get(j, 0.0) + sl[:Dr * Dc]
+                if use_b:
+                    b_sh = (0.0 if b_sh is None else b_sh) + sl[Dr * Dc:]
+        planes = []
+        if has_self:
             g = jnp.take(stream_b, s_idx.reshape(-1), axis=1)
             g = (g.reshape(Dr * Dc + Dr, Ms, N)
                  * s_mask.astype(dt)[None]).sum(axis=1)
-            planes.append(g[:Dr * Dc, None])
-            b_folded[rg_name] = g[Dr * Dc:].T          # [N, Dr]
+            sval = g[:Dr * Dc] + sh_adds.get(0, 0.0)
+            planes.append(sval[:, None])
+            bacc = g[Dr * Dc:]
+            if b_sh is not None:
+                bacc = bacc + b_sh
+            b_folded[rg_name] = bacc.T                 # [N, Dr]
         if m_off:
             if o_idx is None:
-                planes.append(jnp.zeros((Dr * Dc, m_off, N), dtype=dt))
+                p2 = jnp.zeros((Dr * Dc, m_off, N), dtype=dt)
             else:
                 g = jnp.take(stream, o_idx.reshape(-1), axis=1)
                 g = g.reshape(Dr * Dc, Mo, m_off, N)
-                planes.append((g * o_mask.astype(dt).reshape(
-                    1, Mo, m_off, N)).sum(axis=1))
+                p2 = (g * o_mask.astype(dt).reshape(
+                    1, Mo, m_off, N)).sum(axis=1)
+            base_j = 1 if has_self else 0
+            for j_off in range(m_off):
+                if base_j + j_off in sh_adds:
+                    p2 = p2.at[:, j_off].add(sh_adds[base_j + j_off])
+            planes.append(p2)
         V_dia = jnp.concatenate(planes, axis=1) if len(planes) > 1 \
             else planes[0]
         V_res = None
@@ -1099,7 +1182,10 @@ def hot_add_diag(problem, pattern: EllPattern, hot, extra: dict,
         D = rg.tangent_dim
         eye_flat = jnp.reshape(jnp.eye(D, dtype=a.dtype), (-1,))
         if kind == "dia":
-            present = pattern.dia_asm[pid][1][0]        # [N] self presence
+            # self-slot presence = plane 0 of the band mask (NOT the
+            # contributor table's first row — stream shifts may have
+            # drained the table while the slot still exists)
+            present = pattern.dia_mask[pid][0]          # [N]
             add = extra[rg_name] * present.astype(a.dtype)
             out.append(("dia",
                         a.at[:, 0, :].add(eye_flat[:, None] * add[None]), b))

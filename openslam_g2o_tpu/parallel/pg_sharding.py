@@ -130,7 +130,9 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         contrib_base=tuple(None for _ in pattern.contrib_base),
         b_base={k: None for k in pattern.b_base},
         dia_asm=tuple(None for _ in pattern.dia_asm),
-        dia_asm_m=tuple(None for _ in pattern.dia_asm_m))
+        dia_asm_m=tuple(None for _ in pattern.dia_asm_m),
+        dia_sh=tuple(None for _ in pattern.dia_sh),
+        dia_sh_meta=tuple(None for _ in pattern.dia_sh_meta))
 
     # --- placement ------------------------------------------------------
     edge_spec = P(names)          # leading edge axis sharded over all axes
