@@ -682,9 +682,17 @@ def _scan_differenced_cg_iteration(work, pattern, hot, bT, n_cg=100,
         ell_matvec_lane_kmajor_hot, hot_split)
     from openslam_g2o_tpu.core.solvers import pcg_solve
 
+    # the hot entries carry static "dia"/"k" tags — pass only the array
+    # leaves into jit and rebuild the tagged tuple inside the trace
+    hot_vals = tuple(v for e in hot for v in e[1:] if v is not None)
+
     def make(K):
-        def f(hot, bT, seed):
-            ops = hot_split(work, pattern, hot)
+        def f(hot_vals, bT, seed):
+            it = iter(hot_vals)
+            tagged = tuple((e[0], next(it),
+                            None if e[2] is None else next(it))
+                           for e in hot)
+            ops = hot_split(work, pattern, tagged)
             mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, ops,
                                                        xT)
 
@@ -701,12 +709,12 @@ def _scan_differenced_cg_iteration(work, pattern, hot, bT, n_cg=100,
 
     def timed(jf):
         seed = jnp.asarray(0.321, work.dtype)
-        out = jf(hot, bT, seed)
+        out = jf(hot_vals, bT, seed)
         jax.block_until_ready(out)
         best = float("inf")
         for r in range(2):
             t0 = time.monotonic()
-            out = jf(hot, bT, seed * (1.0 + 1e-6 * (r + 1)))
+            out = jf(hot_vals, bT, seed * (1.0 + 1e-6 * (r + 1)))
             jax.block_until_ready(out)
             best = min(best, time.monotonic() - t0)
         return best
