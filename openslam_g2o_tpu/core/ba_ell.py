@@ -974,9 +974,17 @@ def _fused_chunk_unsafe(problem, pattern: BAEllPattern) -> bool:
         return False
     if not dense_schur_ok(problem, pattern):
         return True
-    # dense route: only lm-side chunking would still execute (Hll/b_l
-    # owner reduces always run _reduce_k_lane on lm_buckets)
-    return any(b[1].ndim == 3 for pg in pattern.proj for b in pg.lm_buckets)
+    # dense route: lm-side chunking always executes (Hll/b_l owner
+    # reduces run _reduce_k_lane on lm_buckets), and the CAMERA-side
+    # reduce also falls back to _reduce_k_lane whenever cam_onehot was
+    # operand-size gated out (_build:582-607 — its E*C gate is
+    # independent of dense_schur_ok, so a dense-route shape can still
+    # execute chunked cam kernels)
+    return any(
+        any(b[1].ndim == 3 for b in pg.lm_buckets)
+        or (pg.cam_onehot is None
+            and any(b[1].ndim == 3 for b in pg.cam_buckets))
+        for pg in pattern.proj)
 
 
 def ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict, lam, ni,

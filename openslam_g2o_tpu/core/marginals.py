@@ -149,7 +149,12 @@ def _device_products(problem, pattern):
 
         def f(p, pat):
             l = linearize(p)
-            return l, _build(p, pat, l)
+            s = _build(p, pat, l)
+            # the marginals dense route re-densifies B2 from the W tables
+            # in HOST f64 (see below) — dropping the device B2 from the
+            # program's outputs lets XLA dead-code-eliminate its one-hot
+            # einsum and the 72 MB (80k shape) of HBM it would occupy
+            return l, {**s, "B2": None}
 
         _DEVICE_JIT = jax.jit(f)
     return _DEVICE_JIT(problem, pattern)
@@ -235,7 +240,11 @@ def _compute_marginals_schur_impl(problem: Problem, pattern=None, lin=None,
 
     pose_groups = [g for g in problem.static.vgroups
                    if g.offset < problem.static.pose_dim]
-    use_dense = dense_schur_ok(problem, pattern) and sys["B2"] is not None
+    # route predicate: dense_schur_ok alone — _build computes its device
+    # B2 iff the same predicate holds, and this path only ever consumes
+    # the HOST-f64 re-densified B2r, never the device operand (which
+    # _device_products drops so XLA can eliminate it)
+    use_dense = dense_schur_ok(problem, pattern)
     if not use_dense:
         # f32 on-chip landmark inverses (the dense route inverts in host
         # f64 instead — see below)

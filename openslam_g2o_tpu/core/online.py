@@ -194,6 +194,7 @@ class OnlineOptimizer:
                 self._bg_enabled = False
         self._warming = self._bg_enabled
         self._bg_pool = None
+        self._bg_queue = None
         self._compile_futures: dict = {}
         self._compiled: dict = {}
         self._cpu_fallback_solves = 0
@@ -454,13 +455,22 @@ class OnlineOptimizer:
         self.algorithm.use_pattern(prob, pattern)
         if self._warm_lam is None:
             # honor a user-supplied initialLambda exactly like the batch
-            # driver (LevenbergMarquardtPCG.init); tau-init otherwise
+            # driver (LevenbergMarquardtPCG.init); tau-init otherwise.
+            # The tau-init runs UNDER the solve's device context: on the
+            # CPU-fallback path its inputs are uncommitted CPU arrays, and
+            # a bare jit call would dispatch them to the default
+            # (accelerator) device — a synchronous remote compile on
+            # exactly the cache-cold first solve background_warmup
+            # protects (round-5 review finding)
             if getattr(a, "initial_lambda", 0.0) > 0:
                 self._warm_lam = jnp.asarray(a.initial_lambda, prob.dtype)
             else:
-                self._warm_lam = _lambda_init_pcg(
-                    prob, pattern, prob.params,
-                    jnp.asarray(a.tau, prob.dtype))
+                lam_ctx = (jax.default_device(self._cpu_dev) if on_cpu
+                           else contextlib.nullcontext())
+                with lam_ctx:
+                    self._warm_lam = _lambda_init_pcg(
+                        prob, pattern, prob.params,
+                        jnp.asarray(a.tau, prob.dtype))
             self._warm_ni = jnp.asarray(2.0, prob.dtype)
         # lambda/nu carry across solves that may hop devices — normalize
         # placement to the solve's device (committed-device mixes raise)
@@ -483,8 +493,11 @@ class OnlineOptimizer:
             if exe is not None:
                 try:
                     out5 = exe(prob, pattern, prob.params, lam0, ni0, None)
-                except Exception:
+                except (TypeError, ValueError):
                     out5 = None     # aval/placement mismatch: jit path
+                    # (device faults — e.g. JaxRuntimeError UNAVAILABLE,
+                    # which poisons the client — propagate to the caller
+                    # instead of being masked by a confusing jit retry)
         if out5 is None:
             out5 = lm_pcg_optimize_fused(
                 prob, pattern, prob.params, lam0, ni0, None, **statics)
@@ -513,14 +526,37 @@ class OnlineOptimizer:
 
     def _submit_compile(self, key, prob, pattern, statics):
         """AOT-compile the fused solve program for the accelerator in a
-        daemon thread, from abstract avals only (no data transfer)."""
+        daemon thread, from abstract avals only (no data transfer).
+
+        The worker is a DAEMON thread (one, serializing compiles) rather
+        than a ThreadPoolExecutor: concurrent.futures joins its non-daemon
+        workers at interpreter exit, which would block a short-lived
+        session's shutdown for the full duration of an in-flight remote
+        AOT compile. Long-lived processes that want in-flight compiles to
+        finish (e.g. to seed the persistent cache) should call
+        drain_warmup() before exiting."""
         import concurrent.futures
+        import queue
+        import threading
         import jax
         from openslam_g2o_tpu.core.algorithms import lm_pcg_optimize_fused
 
         if self._bg_pool is None:
-            self._bg_pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="g2o-tpu-warmup")
+            self._bg_queue = queue.Queue()
+
+            def _worker():
+                while True:
+                    fut, fn = self._bg_queue.get()
+                    if not fut.set_running_or_notify_cancel():
+                        continue
+                    try:
+                        fut.set_result(fn())
+                    except BaseException as e:
+                        fut.set_exception(e)
+
+            self._bg_pool = threading.Thread(
+                target=_worker, name="g2o-tpu-warmup", daemon=True)
+            self._bg_pool.start()
         absify = lambda t: jax.tree_util.tree_map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
         abs_args = (absify(prob), absify(pattern), absify(prob.params),
@@ -533,7 +569,8 @@ class OnlineOptimizer:
                 return lm_pcg_optimize_fused.lower(
                     *abs_args, **statics).compile()
 
-        fut = self._bg_pool.submit(compile_)
+        fut = concurrent.futures.Future()
+        self._bg_queue.put((fut, compile_))
         self._compile_futures[key] = fut
         return fut
 

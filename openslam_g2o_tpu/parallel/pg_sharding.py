@@ -197,7 +197,7 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
         values_loc = []
         nb_loc = []
         dia_loc = []
-        for pid, (rg_name, _) in enumerate(pattern_local.pairs):
+        for pid, (rg_name, cg_name) in enumerate(pattern_local.pairs):
             nr = rows_of[rg_name]
             values_loc.append(jax.lax.dynamic_slice_in_dim(
                 values[pid], i_row * nr, nr, axis=1))
@@ -207,8 +207,15 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
             # offset-major planes once per LM step — contiguous keyframe
             # submaps of trajectory-ordered graphs are near-banded, so the
             # hot-loop x access becomes a shifted dynamic_slice of the
-            # REPLICATED x (exact across shard boundaries, zero gathers)
-            if pattern.dia_offsets[pid] is None:
+            # REPLICATED x (exact across shard boundaries, zero gathers).
+            # SAME-GROUP pairs only: the shifted window below starts at
+            # i_row*nr (the ROW group's shard offset) into the COLUMN
+            # group's x — for a cross-group DIA pair with differing
+            # counts, dynamic_slice would CLAMP the last shard's window
+            # and silently misalign every element (the single-device
+            # _shift_stack zero-fills instead); such pairs take the
+            # gather path, which is exact for any group combination
+            if pattern.dia_offsets[pid] is None or rg_name != cg_name:
                 dia_loc.append(None)
                 continue
             src = jax.lax.dynamic_slice_in_dim(

@@ -22,10 +22,12 @@ poison the client process (expect a 20-40 min tunnel drain after a crash —
 CLAUDE.md). Run it in a dedicated process, never inside a measurement
 session.
 """
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 import numpy as np
 
@@ -108,7 +110,7 @@ def _record(passed, worst, cpu_traj, tpu_traj):
     re-probing)."""
     import datetime
     import json
-    with open("/root/repo/CANARY_400K.json", "w") as fh:
+    with open(os.path.join(_REPO, "CANARY_400K.json"), "w") as fh:
         json.dump({
             "bucketed_path_correct_on_toolchain": passed,
             "chi2_parity_worst_rel_gap": worst,
