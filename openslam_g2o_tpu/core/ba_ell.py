@@ -975,11 +975,13 @@ def _fused_chunk_unsafe(problem, pattern: BAEllPattern) -> bool:
     if not dense_schur_ok(problem, pattern):
         return True
     # dense route: lm-side chunking always executes (Hll/b_l owner
-    # reduces run _reduce_k_lane on lm_buckets), and the CAMERA-side
-    # reduce also falls back to _reduce_k_lane whenever cam_onehot was
-    # operand-size gated out (_build:582-607 — its E*C gate is
-    # independent of dense_schur_ok, so a dense-route shape can still
-    # execute chunked cam kernels)
+    # reduces run _reduce_k_lane on lm_buckets). The CAMERA-side reduce
+    # would also fall back to _reduce_k_lane if cam_onehot were gated out
+    # (_build:582-607); with the CURRENT gates that cannot co-occur with
+    # dense_schur_ok (E_g <= K_l*L, so the E*C operand never exceeds the
+    # C*K_l*L lm-onehot operand that dense_schur_ok requires) — the
+    # cam_buckets term below is defensive hardening so the guard stays
+    # correct if either operand gate is ever tuned independently
     return any(
         any(b[1].ndim == 3 for b in pg.lm_buckets)
         or (pg.cam_onehot is None

@@ -152,3 +152,41 @@ class TestKeyframePartitionedPCG:
             prob, mesh8, iterations=5, pcg_iters=120, pcg_tol=1e-10)
         np.testing.assert_allclose([s["chi2"] for s in stats], single,
                                    rtol=1e-6, atol=1e-15)
+
+    def test_cross_group_dia_pair_takes_gather_path(self, mesh8):
+        """A 1:1 pose->landmark pairing makes offset 0 cover every row of
+        the CROSS-group (se2, point_xy) pairs, so build_ell_pattern
+        activates the DIA split for them — with DIFFERENT group counts.
+        The per-shard DIA window starts at the row group's shard offset
+        into the column group's x, which dynamic_slice would CLAMP (and
+        silently misalign) on late shards; such pairs must take the exact
+        gather path instead (round-5 review fix). Trajectory parity vs
+        the single-device hot pipeline proves the route is exact."""
+        from tests.test_graph_problem import make_se2_chain
+        from openslam_g2o_tpu.core.sparse import build_ell_pattern
+        from openslam_g2o_tpu.parallel.pg_sharding import (
+            distributed_pcg_lm_optimize)
+        rng = np.random.default_rng(7)
+        g, gt = make_se2_chain(24, noise=0.15)
+        # landmarks for the FIRST 16 poses only: group counts differ
+        # (24 vs 16) so the row-offset window cannot be assumed aligned
+        for i in range(16):
+            t, th = gt[i][:2], gt[i][2]
+            l_world = t + [0.5, 0.8] + rng.normal(0, 0.02, 2)
+            R = np.array([[np.cos(th), -np.sin(th)],
+                          [np.sin(th), np.cos(th)]])
+            z = R.T @ (l_world - t)
+            g.add_vertex(1000 + i, "point_xy",
+                         l_world + rng.normal(0, 0.1, 2))
+            g.add_edge("edge_se2_xy", (i, 1000 + i), z, np.eye(2) * 25.0)
+        prob = g.compile()
+        pattern = build_ell_pattern(prob)
+        cross_dia = [pattern.dia_offsets[pid] is not None
+                     for pid, (r, c) in enumerate(pattern.pairs) if r != c]
+        assert any(cross_dia), \
+            "premise: the 1:1 pairing must activate DIA on a cross pair"
+        single = self._single_traj(prob)
+        _, stats = distributed_pcg_lm_optimize(
+            prob, mesh8, iterations=5, pcg_iters=120, pcg_tol=1e-10)
+        np.testing.assert_allclose([s["chi2"] for s in stats], single,
+                                   rtol=1e-6, atol=1e-15)
