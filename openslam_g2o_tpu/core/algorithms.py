@@ -102,9 +102,15 @@ def _lm_step(prob: Problem, params: dict, lam, ni, chi_cur, max_trials: int = 10
         dx, ok = solve_dense_cholesky(H + lam * eye_free, b)
         cand = apply_update(work, dx)
         chi_new = robust_chi2(work, cand)
-        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        # a NON-FINITE trial chi2 (divergent retraction, inf-inf in an
+        # angle wrap) must behave exactly like a failed solve: rho is
+        # pinned NEGATIVE so the while_loop retries with larger lambda —
+        # a NaN rho would fail BOTH the accept test and the rho<0 retry
+        # condition and silently end the trial loop (round-5 review)
+        solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+        chi_new = jnp.where(solved, chi_new, jnp.inf)
         scale = jnp.dot(dx, lam * dx + b) + 1e-3
-        rho = (chi_cur - chi_new) / scale
+        rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
         accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
 
         alpha = 1.0 - (2.0 * rho - 1.0) ** 3
@@ -304,10 +310,14 @@ def _lm_pcg_step(prob: Problem, pattern, params: dict, lam, ni, chi_cur,
         dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
-        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        # non-finite trial chi2 behaves like a failed solve: rho pinned
+        # negative so the loop RETRIES (a NaN rho would end it — see
+        # _lm_step)
+        solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+        chi_new = jnp.where(solved, chi_new, jnp.inf)
         scale = _tree_dot(dxT, jax.tree_util.tree_map(
             lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
-        rho = (chi_cur - chi_new) / scale
+        rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
         accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
         alpha = 1.0 - (2.0 * rho - 1.0) ** 3
         good_scale = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
@@ -469,10 +479,11 @@ def lm_pcg_optimize_fused(prob: Problem, pattern, params: dict, lam, ni,
             dx = {k: v.T for k, v in dxT_new.items()}
             cand = apply_update_parts(work, dx)
             chi_new = robust_chi2(work, cand)
-            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+            chi_new = jnp.where(solved, chi_new, jnp.inf)
             scale = _tree_dot(dxT_new, jax.tree_util.tree_map(
                 lambda d, bi: lam * d + bi, dxT_new, pre["bT"])) + 1e-3
-            rho = (chi - chi_new) / scale
+            rho = jnp.where(solved, (chi - chi_new) / scale, -1.0)
             accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
             alpha = 1.0 - (2.0 * rho - 1.0) ** 3
             good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
@@ -529,8 +540,14 @@ def _dogleg_step(prob: Problem, params: dict, delta, lam, was_pd, chi_cur,
 
     def damp_body(st):
         ok, lam_c, x, tries = st
-        use_lam = jnp.where(was_pd, 0.0, lam_c)
-        x_new, solver_ok = solve_dense_cholesky(H + use_lam * eye_free, b)
+        # once the peeled first attempt has failed, escalate lam_c
+        # regardless of was_pd: with use_lam pinned to 0 while was_pd, a
+        # first-ever non-PD Hessian would repeat the identical undamped
+        # factorization 20 times and return a zero GN step, permanently
+        # collapsing the trust radius (round-5 review; mirrors the
+        # _dogleg_pcg_step fix — reference semantics flip wasPD on the
+        # retry too, optimization_algorithm_dogleg.cpp:135-160)
+        x_new, solver_ok = solve_dense_cholesky(H + lam_c * eye_free, b)
         lam_next = jnp.where(solver_ok,
                              jnp.maximum(1e-12, lam_c / 5.0),
                              jnp.minimum(lam_c * 10.0, 1e3))
@@ -564,7 +581,12 @@ def _dogleg_step(prob: Problem, params: dict, delta, lam, was_pd, chi_cur,
         linear_gain = jnp.where(jnp.abs(linear_gain) < 1e-12, 1e-12, linear_gain)
         cand = apply_update(work, h_dl)
         chi_new = robust_chi2(work, cand)
-        rho = (chi_cur - chi_new) / linear_gain
+        # non-finite chi2 (divergent retraction): treat as reject AND
+        # shrink delta — a NaN rho would leave delta unchanged and burn
+        # all max_trials on the identical step (round-5 review)
+        finite = jnp.isfinite(chi_new)
+        chi_new = jnp.where(finite, chi_new, jnp.inf)
+        rho = jnp.where(finite, (chi_cur - chi_new) / linear_gain, -1.0)
         accept = rho > 0
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(accept, new, old), cand, best_params)
@@ -601,27 +623,22 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     """
     from openslam_g2o_tpu.core.problem import apply_update_parts
     from openslam_g2o_tpu.core.sparse import (
-        assemble_hot, ell_matvec_lane_kmajor_hot, hot_add_diag,
-        hot_diag_blocks, hot_scale_jacobi, hot_split, lane_block_mv)
-    from openslam_g2o_tpu.core.solvers import (
-        _tree_dot, batched_chol_inv_lower, pcg_solve)
+        ell_matvec_lane_kmajor_hot, hot_add_diag, hot_split)
+    from openslam_g2o_tpu.core.solvers import _tree_dot
 
     work = prob.with_params(params)
-    lin = linearize(work)
-    hot, b = assemble_hot(work, pattern, lin)
-    diag_blocks = hot_diag_blocks(work, pattern, hot)
-    bT = {k: v.T for k, v in b.items()}
-    nbT = tuple(pattern.nb_idx[p].T for p in range(len(pattern.pairs)))
-    self_maskT = tuple(None if m is None else m.T
-                       for m in pattern.self_mask)
-    eyes = {g.name: jnp.eye(g.tangent_dim, dtype=prob.dtype)
-            for g in work.static.vgroups}
+    # the per-linearization products and the damped Jacobi-scaled-PCG
+    # solve are the SHARED _lm_pcg_step pipeline (round-5 dedup: the
+    # previous inline copy had to track every trial-pipeline change)
+    pre = _pcg_precomp(work, pattern)
+    hot, bT = pre["hot"], pre["bT"]
 
     # undamped H apply with unit diagonal on fixed slots (the
     # build_dense_system convention — J columns at fixed slots are already
     # masked, so b and every step stay zero there)
     extra0 = {g.name: 1.0 - work.free[g.name] for g in work.static.vgroups}
-    vals0 = hot_add_diag(work, pattern, hot, extra0, self_maskT=self_maskT)
+    vals0 = hot_add_diag(work, pattern, hot, extra0,
+                         self_maskT=pre["self_maskT"])
     split0 = hot_split(work, pattern, vals0)
     mv0 = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split0, xT)
 
@@ -635,24 +652,8 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
     def gn_solve(lam_c):
         """Jacobi-scaled PCG solve of (H + lam_c I_free) h = b — the
         _lm_pcg_step per-trial pipeline, without the LM trial semantics."""
-        extra = {g.name: lam_c * work.free[g.name]
-                 + (1.0 - work.free[g.name]) for g in work.static.vgroups}
-        damped = hot_add_diag(work, pattern, hot, extra,
-                              self_maskT=self_maskT)
-        dblocks = {name: diag_blocks[name]
-                   + extra[name][:, None, None] * eyes[name][None]
-                   for name in diag_blocks}
-        linv = {name: batched_chol_inv_lower(dblocks[name])
-                for name in dblocks}
-        svals = hot_scale_jacobi(work, pattern, damped, linv, nbT=nbT)
-        split = hot_split(work, pattern, svals)
-        mv = lambda xT: ell_matvec_lane_kmajor_hot(work, pattern, split,
-                                                   xT)
-        linv_lane = {name: jnp.moveaxis(linv[name], 0, -1) for name in linv}
-        bhatT = lane_block_mv(linv_lane, bT)
-        xhat, ok = pcg_solve(mv, bhatT, max_iter=pcg_iters, tol=pcg_tol,
-                             unroll=2, norm="precond")
-        return lane_block_mv(linv_lane, xhat, transpose=True), ok
+        return _pcg_trial(work, pattern, pre, lam_c, None, pcg_iters,
+                          pcg_tol, 0)
 
     def damp_cond(st):
         ok, lam_c, x, tries = st
@@ -664,9 +665,8 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
         # peeled first attempt failed), escalate lam_c regardless of
         # was_pd: repeating the identical lam=0 PCG solve 20 times would
         # burn pcg_iters matvecs per retry for the same failure
-        # (round-4 advisor finding; the dense _dogleg_step keeps the
-        # reference's was_pd semantics where a retry is one cheap
-        # factorization, optimization_algorithm_dogleg.cpp:135-160)
+        # (round-4 advisor finding; the dense _dogleg_step adopted the
+        # same retry rule in round 5)
         x_new, solver_ok = gn_solve(lam_c)
         lam_next = jnp.where(solver_ok,
                              jnp.maximum(1e-12, lam_c / 5.0),
@@ -706,7 +706,10 @@ def _dogleg_pcg_step(prob: Problem, pattern, params: dict, delta, lam,
                                 linear_gain)
         cand = apply_update_parts(work, {k: v.T for k, v in h_dlT.items()})
         chi_new = robust_chi2(work, cand)
-        rho = (chi_cur - chi_new) / linear_gain
+        # non-finite chi2: reject AND shrink delta (see _dogleg_step)
+        finite = jnp.isfinite(chi_new)
+        chi_new = jnp.where(finite, chi_new, jnp.inf)
+        rho = jnp.where(finite, (chi_cur - chi_new) / linear_gain, -1.0)
         accept = rho > 0
         best_params = jax.tree_util.tree_map(
             lambda new, old: jnp.where(accept, new, old), cand, best_params)

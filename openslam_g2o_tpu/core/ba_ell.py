@@ -857,10 +857,14 @@ def _lm_ba_ell_step(prob: Problem, pattern: BAEllPattern, params: dict,
         dx = {k: v.T for k, v in dxT.items()}
         cand = apply_update_parts(work, dx)
         chi_new = robust_chi2(work, cand)
-        chi_new = jnp.where(ok, chi_new, jnp.inf)
+        # non-finite trial chi2 behaves like a failed solve: rho pinned
+        # negative so the while_loop retries with larger lambda (a NaN
+        # rho would end the trial loop — see algorithms._lm_step)
+        solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+        chi_new = jnp.where(solved, chi_new, jnp.inf)
         scale = _tree_dot(dxT, jax.tree_util.tree_map(
             lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
-        rho = (chi_cur - chi_new) / scale
+        rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
         accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
         alpha = 1.0 - (2.0 * rho - 1.0) ** 3
         good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
@@ -904,10 +908,11 @@ def _ba_trial(prob: Problem, pattern: BAEllPattern, params: dict, lam,
     dx = {k: v.T for k, v in dxT.items()}
     cand = apply_update_parts(work, dx)
     chi_new = robust_chi2(work, cand)
-    chi_new = jnp.where(ok, chi_new, jnp.inf)
+    solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+    chi_new = jnp.where(solved, chi_new, jnp.inf)
     scale = _tree_dot(dxT, jax.tree_util.tree_map(
         lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
-    rho = (chi_cur - chi_new) / scale
+    rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
     return cand, chi_new, rho
 
 
@@ -1064,10 +1069,11 @@ def ba_ell_optimize_fused(prob: Problem, pattern: BAEllPattern, params: dict,
             dx = {k: v.T for k, v in dxT.items()}
             cand = apply_update_parts(work, dx)
             chi_new = robust_chi2(work, cand)
-            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+            chi_new = jnp.where(solved, chi_new, jnp.inf)
             scale = _tree_dot(dxT, jax.tree_util.tree_map(
                 lambda d, bi: lam * d + bi, dxT, bT)) + 1e-3
-            rho = (chi - chi_new) / scale
+            rho = jnp.where(solved, (chi - chi_new) / scale, -1.0)
             accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
             alpha = 1.0 - (2.0 * rho - 1.0) ** 3
             good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))

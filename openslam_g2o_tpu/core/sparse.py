@@ -226,14 +226,18 @@ def _contrib_tables(dest, n_dest, stream_idx=None):
     src = order if stream_idx is None else stream_idx[order]
     tbl[dest[order], col] = src.astype(np.int32)
     mask[dest[order], col] = 1.0
-    base = (jnp.asarray(tbl[:, 0]), jnp.asarray(mask[:, 0]))
-    first = col == 0
-    if first.all():
-        ov = None
+    if (col == 0).all():
+        # every slot has exactly one contribution: the base form (one
+        # gathered element per slot) replaces the [n_dest, M] table
+        base = (jnp.asarray(tbl[:, 0]), jnp.asarray(mask[:, 0]))
+        cb = (base, None)
     else:
-        ov = (jnp.asarray(dest[order][~first].astype(np.int32)),
-              jnp.asarray(src[~first].astype(np.int32)))
-    return tbl, mask, M, (base, ov)
+        # multi-contribution slots exist: the M-wide gather path is used
+        # (a scatter-ADD overflow variant measured SLOWER at the 100k
+        # shape, see _assemble_pair) — neither the base nor the overflow
+        # arrays would ever be read, so store no device arrays at all
+        cb = None
+    return tbl, mask, M, cb
 
 
 def build_ell_pattern(problem, edge_valid: dict = None) -> EllPattern:

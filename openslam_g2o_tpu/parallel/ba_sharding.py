@@ -306,13 +306,14 @@ def make_sharded_ba_lm_step(problem: Problem, mesh: Mesh, axis: str = "lm",
             dx_parts[lg.name] = dx_l
             cand = apply_update_parts(local_prob, dx_parts)
             chi_new = jax.lax.psum(robust_chi2(local_prob, cand), axis)
-            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+            chi_new = jnp.where(solved, chi_new, jnp.inf)
 
             scale_local = jnp.vdot(dx_l, lam * dx_l) + jnp.vdot(
                 dx_l.reshape(-1), b_l.reshape(-1))
             scale = jnp.dot(dx_p, lam * dx_p + b_p) \
                 + jax.lax.psum(scale_local, axis) + 1e-3
-            rho = (chi_cur - chi_new) / scale
+            rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
             accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
             alpha = 1.0 - (2.0 * rho - 1.0) ** 3
             good = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))

@@ -306,11 +306,12 @@ def make_distributed_pcg_lm_step(problem: Problem, mesh: Mesh,
             # chi2 of the candidate: edge-sharded + psum (the same shape as
             # the reference's computeActiveErrors, sparse_optimizer.cpp:61)
             chi_new = jax.lax.psum(robust_chi2(work, cand), names)
-            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+            chi_new = jnp.where(solved, chi_new, jnp.inf)
 
             scale = _tree_dot(dx, jax.tree_util.tree_map(
                 lambda d, bi: lam * d + bi, dx, b)) + 1e-3
-            rho = (chi_cur - chi_new) / scale
+            rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
             accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
             alpha = 1.0 - (2.0 * rho - 1.0) ** 3
             good_scale = jnp.maximum(1.0 / 3.0,

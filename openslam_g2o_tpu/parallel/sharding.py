@@ -157,9 +157,10 @@ def make_sharded_lm_step(problem: Problem, mesh: Mesh, axis: str = "edges",
             dx, ok = solve_dense_cholesky(H + lam * eye_free, b)
             cand = apply_update(sharded, dx, params)
             chi_new = sharded_chi2(sharded.edges, cand)
-            chi_new = jnp.where(ok, chi_new, jnp.inf)
+            solved = jnp.logical_and(ok, jnp.isfinite(chi_new))
+            chi_new = jnp.where(solved, chi_new, jnp.inf)
             scale = jnp.dot(dx, lam * dx + b) + 1e-3
-            rho = (chi_cur - chi_new) / scale
+            rho = jnp.where(solved, (chi_cur - chi_new) / scale, -1.0)
             accept = jnp.logical_and(rho > 0, jnp.isfinite(chi_new))
             alpha = 1.0 - (2.0 * rho - 1.0) ** 3
             good_scale = jnp.maximum(1.0 / 3.0, jnp.minimum(alpha, 2.0 / 3.0))
